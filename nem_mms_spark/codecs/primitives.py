@@ -1,0 +1,125 @@
+"""Bit-packing and byte-layout primitives shared by all codecs.
+
+All layouts are little-endian.  Integers are packed LSB-first at a fixed
+bit width; widths > 56 fall back to raw 8-byte storage (packing math uses
+int64 powers which are exact only below 2**63).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_RAW_WIDTH = 64  # sentinel: store as raw int64/uint64 words
+
+
+def bit_width(max_value: int) -> int:
+    """Bits needed to represent max_value (>=0). 0 for max_value == 0."""
+    if max_value < 0:
+        raise ValueError("bit_width expects a non-negative value")
+    return int(max_value).bit_length()
+
+
+def pack_uints(values: np.ndarray, width: int) -> bytes:
+    """Pack non-negative ints into `width`-bit little-endian codes.
+
+    width == 0 means all values are zero (empty payload); width > 56
+    stores raw uint64 words.
+    """
+    n = len(values)
+    if n == 0 or width == 0:
+        return b""
+    if width > 56:
+        return values.astype("<u8").tobytes()
+    v = values.astype(np.uint64, copy=False)
+    # bits matrix (n, width), LSB first, then packbits in little order
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def unpack_uints(payload: bytes, width: int, count: int) -> np.ndarray:
+    """Inverse of pack_uints -> uint64 array of length count."""
+    if count == 0 or width == 0:
+        return np.zeros(count, dtype=np.uint64)
+    if width > 56:
+        return np.frombuffer(payload, dtype="<u8", count=count).astype(np.uint64)
+    bits = np.unpackbits(
+        np.frombuffer(payload, dtype=np.uint8), bitorder="little"
+    )[: count * width].reshape(count, width)
+    weights = (np.uint64(1) << np.arange(width, dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+
+
+def zigzag_encode(values: np.ndarray) -> np.ndarray:
+    """Signed int64 -> unsigned zigzag (0,-1,1,-2 -> 0,1,2,3)."""
+    v = values.astype(np.int64, copy=False)
+    return (
+        (v.view(np.uint64) << np.uint64(1)) ^ (v >> np.int64(63)).view(np.uint64)
+    )
+
+
+def zigzag_decode(values: np.ndarray) -> np.ndarray:
+    u = values.astype(np.uint64, copy=False)
+    return ((u >> np.uint64(1)).view(np.int64)) ^ -(u & np.uint64(1)).astype(
+        np.int64
+    )
+
+
+def encode_offsets_data(
+    data: np.ndarray, offsets: np.ndarray
+) -> tuple[bytes, dict]:
+    """Serialize a (uint8 data, int64 offsets) string/binary chunk.
+
+    Layout: bit-packed *lengths* (cheaper than absolute offsets) followed by
+    the raw data bytes.  Returns (payload, params).
+    """
+    lengths = np.diff(offsets.astype(np.int64, copy=False))
+    max_len = int(lengths.max()) if len(lengths) else 0
+    w = bit_width(max_len)
+    packed = pack_uints(lengths.astype(np.uint64), w)
+    body = data.tobytes() if isinstance(data, np.ndarray) else bytes(data)
+    return packed + body, {"lw": w, "ln": len(packed)}
+
+
+def decode_offsets_data(
+    payload: bytes, params: dict, count: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_offsets_data -> (uint8 data, int64 offsets)."""
+    ln = params["ln"]
+    lengths = unpack_uints(payload[:ln], params["lw"], count).astype(np.int64)
+    offsets = np.zeros(count + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    data = np.frombuffer(payload, dtype=np.uint8, offset=ln)
+    return data.copy(), offsets
+
+
+def run_ends(values: np.ndarray) -> np.ndarray:
+    """Indices one past the end of each run in a 1-D array."""
+    if len(values) == 0:
+        return np.zeros(0, dtype=np.int64)
+    change = np.flatnonzero(values[1:] != values[:-1]) + 1
+    return np.concatenate([change, [len(values)]]).astype(np.int64)
+
+
+def gather_bytes(
+    data: np.ndarray, offsets: np.ndarray, indices: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Take rows `indices` from a (data, offsets) chunk, vectorized.
+
+    Returns a new (data, offsets) pair.  Used to materialize dictionary
+    values / run values without per-row Python.
+    """
+    starts = offsets[indices]
+    lengths = offsets[indices + 1] - starts
+    out_offsets = np.zeros(len(indices) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=out_offsets[1:])
+    total = int(out_offsets[-1])
+    if total == 0:
+        return np.zeros(0, dtype=np.uint8), out_offsets
+    # source byte positions: for each row, starts[i] + arange(lengths[i])
+    row_of_byte = np.repeat(np.arange(len(indices)), lengths)
+    pos_in_row = np.arange(total) - np.repeat(out_offsets[:-1], lengths)
+    src = starts[row_of_byte] + pos_in_row
+    return data[src], out_offsets
