@@ -1,0 +1,306 @@
+"""The encode job: DataFrame -> encoded blocks + manifest + checkpoint.
+
+Spark-first restatement of the reference's parse pipeline
+(/root/reference/src/main.rs:92-99 -> src/packages/mod.rs:196-237):
+
+  source DataFrame
+    -> salted partition assignment  (skew: hot url-hosts split across
+       `salt_buckets` salts while keeping host locality for symbol tables)
+    -> LEFT ANTI join vs checkpoint (resume)
+    -> repartition(part_id) + sortWithinPartitions(part_id, sort_cols)
+       (sorting lengthens runs -> RLE/delta win; SIGMOD'20 RLE-permutation)
+    -> mapInArrow encode kernel     (zero-copy Arrow batches; one FSST/dict
+       table per partition-column; row-aligned blocks bound UDF memory)
+    -> blocks parquet (partitioned by part_id, stored uncompressed — the
+       bytes are ours), then manifest + checkpoint derived from block
+       metadata with plain aggregations (Catalyst prunes the payload
+       column away from those scans).
+
+At 100 TB: `num_parts` sizes a partition (target 256 MB-1 GB raw); every
+stage above is shuffle-once (the single repartition); the manifest and
+checkpoint aggregations read only block *metadata* columns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from nem_mms_spark import checkpoint as ckpt
+from nem_mms_spark import framing
+from nem_mms_spark import manifest as M
+from nem_mms_spark.selector import ColumnContext, select_and_encode
+
+DEFAULT_SALT_BUCKETS = 4
+
+
+def with_part_id(
+    df: DataFrame,
+    num_parts: int,
+    key_col: str | None = None,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Stable partition assignment. For url-keyed tables: salted host hash
+    (north_rule skew handling); otherwise hash of the key column."""
+    cols = df.columns
+    if key_col is None:
+        key_col = "url" if "url" in cols else cols[0]
+    if key_col == "url":
+        host = F.expr("parse_url(url, 'HOST')")
+        salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+        part = F.pmod(F.xxhash64(host, salt), F.lit(num_parts))
+    else:
+        part = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_parts))
+    return df.withColumn("part_id", part.cast("int"))
+
+
+def encode_dataframe(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    *,
+    num_parts: int | None = None,
+    key_col: str | None = None,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    sort_cols: list[str] | None = None,
+    block_rows: int = framing.DEFAULT_BLOCK_ROWS,
+    block_bytes: int = framing.DEFAULT_BLOCK_BYTES,
+    resume: bool = True,
+) -> dict:
+    """Run the encode pipeline; returns summary metrics."""
+    num_parts = num_parts or max(spark.sparkContext.defaultParallelism, 4)
+    if sort_cols is None:
+        sort_cols = [c for c in ("warc_ts", "ts") if c in df.columns]
+
+    source_cols = df.columns
+    work = with_part_id(df, num_parts, key_col, salt_buckets)
+    done = ckpt.done_parts(spark, out_dir) if resume else None
+    n_done = 0
+    if done is not None:
+        done = done.cache()
+        n_done = done.count()
+        work = ckpt.filter_pending(work, done)
+
+    work = work.repartition(num_parts, "part_id").sortWithinPartitions(
+        "part_id", *sort_cols
+    )
+
+    encode_fn = _make_encoder(source_cols, block_rows, block_bytes, key_col)
+    blocks = work.mapInArrow(encode_fn, M.BLOCK_SCHEMA)
+    (
+        blocks.write.mode("overwrite")
+        .partitionBy("part_id")
+        .option("compression", "none")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(out_dir, M.BLOCKS_DIR))
+    )
+
+    # manifest + checkpoint from block METADATA only (payload pruned away)
+    bmeta = spark.read.parquet(os.path.join(out_dir, M.BLOCKS_DIR)).select(
+        "part_id", "block_id", "col_idx", "column", "logical_type", "codec",
+        "value_count", "null_count", "raw_bytes", "encoded_bytes",
+        "encode_ns", "fingerprint",
+    )
+    if done is not None and n_done:
+        bmeta = bmeta.join(F.broadcast(done), "part_id", "left_anti")
+
+    per_codec = bmeta.groupBy(
+        "part_id", "col_idx", "column", "logical_type", "codec"
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum("value_count").alias("n_values"),
+        F.sum("null_count").alias("null_count"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("encoded_bytes").alias("encoded_bytes"),
+    )
+    man = (
+        per_codec.groupBy("part_id", "col_idx", "column", "logical_type")
+        .agg(
+            F.sum("cnt").alias("n_blocks"),
+            F.sum("n_values").alias("n_values"),
+            F.sum("null_count").alias("null_count"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("encoded_bytes").alias("encoded_bytes"),
+            F.to_json(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("codec", "cnt")))
+                )
+            ).alias("codecs"),
+        )
+    )
+    (
+        man.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_id")
+        .parquet(os.path.join(out_dir, M.MANIFEST_DIR))
+    )
+
+    # checkpoint last: its row is the durable 'partition done' marker
+    ck = (
+        bmeta.groupBy("part_id")
+        .agg(
+            F.sum(F.when(F.col("col_idx") == 0, F.col("value_count")).otherwise(0)).alias("n_rows"),
+            (F.countDistinct("block_id")).alias("n_blocks"),
+            F.countDistinct("column").cast("int").alias("n_columns"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("encoded_bytes").alias("encoded_bytes"),
+            F.max("fingerprint").alias("fingerprint"),
+            F.max("encode_ns").alias("encode_ns"),
+        )
+        .withColumn("status", F.lit("done"))
+        .select(
+            "part_id", "status", "n_rows", "n_blocks", "n_columns",
+            "raw_bytes", "encoded_bytes", "fingerprint", "encode_ns",
+        )
+    )
+    # dynamic partition overwrite: writing only this run's rows leaves
+    # previously-done partitions' checkpoint dirs untouched
+    ckpt.write_checkpoint_rows(ck, out_dir)
+
+    summary = (
+        spark.read.parquet(ckpt.checkpoint_path(out_dir))
+        .agg(
+            F.count("*").alias("parts"),
+            F.sum("n_rows").alias("rows"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("encoded_bytes").alias("encoded_bytes"),
+        )
+        .collect()[0]
+    )
+    if done is not None:
+        done.unpersist()
+    return {
+        "parts": summary["parts"],
+        "rows": summary["rows"],
+        "raw_bytes": summary["raw_bytes"],
+        "encoded_bytes": summary["encoded_bytes"],
+        "ratio": (summary["encoded_bytes"] or 0) / max(summary["raw_bytes"] or 1, 1),
+        "skipped_parts": n_done,
+    }
+
+
+def _make_encoder(source_cols, block_rows, block_bytes, key_col):
+    """Build the mapInArrow kernel. Pure function of partition content."""
+
+    def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        cur_pid = None
+        buf: list[pa.RecordBatch] = []
+        for batch in batches:
+            pids = batch.column("part_id").to_numpy(zero_copy_only=False)
+            if len(pids) == 0:
+                continue
+            # rows are sorted by part_id: split batch at part boundaries
+            bounds = np.concatenate(
+                [[0], np.flatnonzero(pids[1:] != pids[:-1]) + 1, [len(pids)]]
+            )
+            for i in range(len(bounds) - 1):
+                s, e = int(bounds[i]), int(bounds[i + 1])
+                pid = int(pids[s])
+                if pid != cur_pid and buf:
+                    yield from _flush(cur_pid, buf)
+                    buf = []
+                cur_pid = pid
+                buf.append(batch.slice(s, e - s))
+        if buf:
+            yield from _flush(cur_pid, buf)
+
+    def _flush(pid: int, buf: list[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        t0 = time.monotonic_ns()
+        tbl = pa.Table.from_batches(buf).drop_columns(["part_id"])
+        fp = _fingerprint(tbl, key_col)
+        ranges = framing.block_ranges(tbl, block_rows, block_bytes)
+        ctxs = {name: ColumnContext() for name in tbl.column_names}
+        rows = {k: [] for k in (
+            "block_id", "col_idx", "column", "logical_type", "codec", "params",
+            "payload", "validity", "value_count", "null_count", "raw_bytes",
+            "encoded_bytes",
+        )}
+        for block_id, (start, length) in enumerate(ranges):
+            for col_idx, name in enumerate(tbl.column_names):
+                arr = tbl.column(name).slice(start, length).combine_chunks()
+                values, dtype, validity, null_count, raw = framing.to_kernel(arr)
+                codec, payload, params, _est = select_and_encode(
+                    values, dtype, ctxs[name]
+                )
+                rows["block_id"].append(block_id)
+                rows["col_idx"].append(col_idx)
+                rows["column"].append(name)
+                rows["logical_type"].append(str(arr.type))
+                rows["codec"].append(codec)
+                rows["params"].append(json.dumps(params, separators=(",", ":")))
+                rows["payload"].append(payload)
+                rows["validity"].append(validity)
+                rows["value_count"].append(length)
+                rows["null_count"].append(null_count)
+                rows["raw_bytes"].append(raw)
+                rows["encoded_bytes"].append(len(payload))
+        n = len(rows["block_id"])
+        encode_ns = time.monotonic_ns() - t0
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([pid] * n, type=pa.int32()),
+                pa.array(rows["block_id"], type=pa.int32()),
+                pa.array(rows["col_idx"], type=pa.int32()),
+                pa.array(rows["column"], type=pa.string()),
+                pa.array(rows["logical_type"], type=pa.string()),
+                pa.array(rows["codec"], type=pa.string()),
+                pa.array(rows["params"], type=pa.string()),
+                pa.array(rows["payload"], type=pa.binary()),
+                pa.array(rows["validity"], type=pa.binary()),
+                pa.array(rows["value_count"], type=pa.int64()),
+                pa.array(rows["null_count"], type=pa.int64()),
+                pa.array(rows["raw_bytes"], type=pa.int64()),
+                pa.array(rows["encoded_bytes"], type=pa.int64()),
+                pa.array([encode_ns] * n, type=pa.int64()),
+                pa.array([fp] * n, type=pa.int64()),
+            ],
+            names=[
+                "part_id", "block_id", "col_idx", "column", "logical_type",
+                "codec", "params", "payload", "validity", "value_count",
+                "null_count", "raw_bytes", "encoded_bytes", "encode_ns",
+                "fingerprint",
+            ],
+        )
+
+    return encode_partition
+
+
+def _fingerprint(tbl: pa.Table, key_col: str | None) -> int:
+    """Order-insensitive content fingerprint of the partition's key column
+    (lineage identity; the EOR row-count-checksum analogue,
+    /root/reference/src/flatfile.rs:475-488, strengthened to content)."""
+    name = key_col if key_col in tbl.column_names else tbl.column_names[0]
+    values, dtype, _v, _nc, _raw = framing.to_kernel(
+        tbl.column(name).combine_chunks()
+    )
+    if dtype == "bytes":
+        data, offsets = values
+        n = len(offsets) - 1
+        lengths = np.diff(offsets)
+        h = lengths.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        for k in range(8):
+            m = lengths > k
+            h[m] ^= data[offsets[:-1][m] + k].astype(np.uint64) << np.uint64(8 * (k % 8))
+            m2 = lengths > k
+            h[m2] ^= data[offsets[1:][m2] - 1 - k].astype(np.uint64) << np.uint64(8 * ((k + 3) % 8) + 7)
+        h = _mix(h)
+    else:
+        h = _mix(np.asarray(values).astype(np.uint64, copy=False))
+    total = np.uint64(0)
+    for chunk_start in range(0, len(h), 1 << 20):
+        total = total + h[chunk_start : chunk_start + (1 << 20)].sum(dtype=np.uint64)
+    return int(total.astype(np.int64))
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))

@@ -1,0 +1,169 @@
+"""Sampled cost-model codec auto-selection.
+
+Per column chunk, estimate encoded bits/value for every candidate codec
+(exact closed-form for the integer/dictionary/RLE family, sampled trial
+encode for FSST), pick the argmin, encode with the winner, and fall back to
+PLAIN if the winner's actual payload came out larger (estimates are
+estimates).  Ties break toward the cheaper-to-decode codec (candidate order
+in the registry).  The choice is a pure function of chunk content — no RNG —
+so retries re-produce identical blocks (determinism requirement from
+SURVEY.md §7).
+
+Run-length / cardinality estimation per the cost models discussed in
+"Column Partition and Permutation for Run Length Encoding" (SIGMOD 2020).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nem_mms_spark.codecs import fsst as fsst_mod
+from nem_mms_spark.codecs import registry
+from nem_mms_spark.codecs.basic import _factorize_bytes
+from nem_mms_spark.codecs.primitives import bit_width, run_ends
+
+_FSST_SAMPLE_BYTES = 64 << 10
+_FSST_MIN_BYTES = 2 << 10
+
+
+class ColumnContext:
+    """Per-(partition, column) shared state: one FSST table per partition
+    column (north_star: symbol table per partition-column, not per block),
+    trained lazily on the first qualifying chunk."""
+
+    __slots__ = ("fsst_table", "fsst_failed")
+
+    def __init__(self):
+        self.fsst_table = None
+        self.fsst_failed = False
+
+
+def select_and_encode(values, dtype: str, ctx: ColumnContext | None = None):
+    """-> (codec_name, payload, params, estimates: dict[str, int])"""
+    if dtype == "bytes":
+        return _select_bytes(values, ctx or ColumnContext())
+    return _select_numeric(values, dtype)
+
+
+# ------------------------------------------------------------------ bytes
+
+
+def _select_bytes(values, ctx: ColumnContext):
+    data, offsets = values
+    n = len(offsets) - 1
+    data_len = int(offsets[-1] - offsets[0]) if n else 0
+    if n == 0:
+        payload, params = registry.encode_block(values, "bytes", registry.PLAIN)
+        return registry.PLAIN, payload, params, {}
+
+    lengths = np.diff(offsets)
+    max_len = int(lengths.max()) if n else 0
+    len_bits = bit_width(max_len)
+    plain_est = data_len + (n * len_bits + 7) // 8
+
+    codes, uniq = _factorize_bytes(data, offsets)
+    udata, uoffsets = uniq
+    card = len(uoffsets) - 1
+    code_bits = bit_width(max(card - 1, 0))
+    ulen = int(uoffsets[-1])
+    ulen_bits = bit_width(int(np.diff(uoffsets).max())) if card else 0
+    dict_est = ulen + (card * ulen_bits + 7) // 8 + (n * code_bits + 7) // 8
+
+    ends = run_ends(codes)
+    runs = len(ends)
+    starts = np.concatenate([[0], ends[:-1]]).astype(np.int64)
+    run_val_len = int((offsets[starts + 1] - offsets[starts]).sum()) if runs else 0
+    run_len_bits = bit_width(int((ends - starts).max())) if runs else 0
+    rle_est = run_val_len + (runs * (len_bits + run_len_bits) + 7) // 8
+
+    est = {
+        registry.PLAIN: plain_est,
+        registry.DICT: dict_est,
+        registry.RLE: rle_est,
+    }
+
+    fsst_kw = {}
+    if data_len >= _FSST_MIN_BYTES and not ctx.fsst_failed:
+        if ctx.fsst_table is None:
+            ctx.fsst_table = fsst_mod.train(data, offsets)
+            if not ctx.fsst_table.rules:
+                ctx.fsst_failed = True
+        if not ctx.fsst_failed:
+            # contract: offsets[0] == 0 (framing normalizes chunk offsets)
+            cut = int(np.searchsorted(offsets, _FSST_SAMPLE_BYTES))
+            cut = min(max(cut, 1), n)
+            sp, _ = fsst_mod.encode(
+                data[: offsets[cut]], offsets[: cut + 1], table=ctx.fsst_table
+            )
+            sample_len = int(offsets[cut])
+            ratio = len(sp) / max(sample_len, 1)
+            est[registry.FSST] = int(ratio * data_len) + (n * len_bits + 7) // 8
+            fsst_kw = {"table": ctx.fsst_table}
+
+    winner = _argmin(est, registry.candidate_codecs("bytes"))
+    kw = {}
+    if winner == registry.DICT:
+        kw = {"codes": codes, "uniq": uniq}
+    elif winner == registry.RLE:
+        kw = {"codes": codes}
+    elif winner == registry.FSST:
+        kw = fsst_kw
+    payload, params = registry.encode_block(values, "bytes", winner, **kw)
+    if winner != registry.PLAIN and len(payload) > plain_est:
+        p2, pr2 = registry.encode_block(values, "bytes", registry.PLAIN)
+        if len(p2) < len(payload):
+            return registry.PLAIN, p2, pr2, est
+    return winner, payload, params, est
+
+
+# ---------------------------------------------------------------- numeric
+
+
+def _select_numeric(values, dtype: str):
+    arr = np.asarray(values)
+    n = len(arr)
+    item = arr.dtype.itemsize
+    if n == 0:
+        payload, params = registry.encode_block(arr, dtype, registry.PLAIN)
+        return registry.PLAIN, payload, params, {}
+
+    est = {registry.PLAIN: n * item}
+    is_int = dtype in registry.INT_DTYPES
+
+    view = arr
+    if dtype in registry.FLOAT_DTYPES:
+        view = arr.view("<u8" if dtype == "<f8" else "<u4")
+
+    if is_int:
+        v = arr.astype(np.int64, copy=False)
+        w_for = bit_width(int(v.max() - v.min()))
+        est[registry.FOR_BITPACK] = (n * w_for + 7) // 8
+        if n > 1:
+            d = np.diff(v)
+            w_delta = bit_width(int(d.max() - d.min()))
+            est[registry.DELTA_FOR_BITPACK] = ((n - 1) * w_delta + 7) // 8
+
+    uniq = np.unique(view)
+    card = len(uniq)
+    est[registry.DICT] = card * item + (n * bit_width(max(card - 1, 0)) + 7) // 8
+
+    ends = run_ends(view)
+    runs = len(ends)
+    starts = np.concatenate([[0], ends[:-1]])
+    run_len_bits = bit_width(int((ends - starts).max())) if runs else 0
+    est[registry.RLE] = runs * item + (runs * run_len_bits + 7) // 8
+
+    winner = _argmin(est, registry.candidate_codecs(dtype))
+    payload, params = registry.encode_block(arr, dtype, winner)
+    if winner != registry.PLAIN and len(payload) > est[registry.PLAIN]:
+        payload, params = registry.encode_block(arr, dtype, registry.PLAIN)
+        winner = registry.PLAIN
+    return winner, payload, params, est
+
+
+def _argmin(est: dict[str, int], order: list[str]) -> str:
+    best, best_size = order[0], None
+    for codec in order:  # order = decode-cheapness; strict < keeps ties cheap
+        if codec in est and (best_size is None or est[codec] < best_size):
+            best, best_size = codec, est[codec]
+    return best

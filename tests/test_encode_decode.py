@@ -1,0 +1,94 @@
+"""End-to-end encode -> decode -> bit-identical verification, plus
+checkpoint resume idempotence (SURVEY.md §7 M1/M5)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nem_mms_spark.datagen.webpages import web_pages_df
+from nem_mms_spark.jobs.encode import encode_dataframe, with_part_id
+from nem_mms_spark.jobs.decode import decode_blocks, read_manifest
+from nem_mms_spark.jobs.verify import verify_roundtrip
+
+N_ROWS = 4000
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return web_pages_df(spark, N_ROWS).cache()
+
+
+def test_encode_decode_bit_identical(spark, pages, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("enc"))
+    metrics = encode_dataframe(spark, pages, out, num_parts=6, block_rows=512)
+    assert metrics["rows"] == N_ROWS
+    assert metrics["ratio"] < 0.6, f"expected real compression, got {metrics}"
+    result = verify_roundtrip(spark, pages, out, key="url")
+    assert result["mismatched_rows"] == 0
+    assert result["decoded_rows"] == N_ROWS
+
+
+def test_manifest_selector_outcomes(spark, pages, tmp_path_factory):
+    """FIXTURES.md §A expected selector outcomes per column."""
+    out = str(tmp_path_factory.mktemp("enc_sel"))
+    encode_dataframe(spark, pages, out, num_parts=4)
+    man = read_manifest(spark, out).collect()
+    by_col = {}
+    for r in man:
+        by_col.setdefault(r["column"], []).append(r["codecs"])
+    assert any("FSST" in c for c in by_col["url"]), by_col["url"]
+    assert any(("DICT" in c) or ("RLE" in c) for c in by_col["lang"])
+    assert any("DELTA_FOR_BITPACK" in c for c in by_col["warc_ts"])
+
+
+def test_column_subset_decode(spark, pages, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("enc_sub"))
+    encode_dataframe(spark, pages, out, num_parts=4)
+    d = decode_blocks(spark, out, columns=["url", "lang"])
+    assert d.columns == ["url", "lang"]
+    assert d.count() == N_ROWS
+    with pytest.raises(ValueError, match="not in manifest"):
+        decode_blocks(spark, out, columns=["nope"])
+
+
+def test_resume_skips_done_and_completes_partial(spark, pages, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("enc_resume"))
+    # first: encode only a subset of partitions (simulates a mid-run kill
+    # after some partitions committed their checkpoint rows)
+    part_ids = with_part_id(pages, 6).select("part_id").distinct().collect()
+    all_parts = sorted(r["part_id"] for r in part_ids)
+    half = all_parts[: len(all_parts) // 2]
+    subset = with_part_id(pages, 6).filter(F.col("part_id").isin(half)).drop("part_id")
+    m1 = encode_dataframe(spark, subset, out, num_parts=6)
+    assert m1["rows"] < N_ROWS
+
+    # resume over the FULL input: must skip done partitions, encode the rest
+    m2 = encode_dataframe(spark, pages, out, num_parts=6)
+    assert m2["skipped_parts"] == len(half)
+    assert m2["rows"] == N_ROWS
+
+    verify_roundtrip(spark, pages, out, key="url")
+
+    # third run: everything already done -> no work, output unchanged
+    m3 = encode_dataframe(spark, pages, out, num_parts=6)
+    assert m3["skipped_parts"] == len(all_parts)
+    assert m3["rows"] == N_ROWS
+    assert m3["encoded_bytes"] == m2["encoded_bytes"]
+
+
+def test_determinism_across_runs(spark, pages, tmp_path_factory):
+    """Same input twice -> identical checkpoint fingerprints + byte sizes
+    (codec choice is a pure function of partition content)."""
+    out1 = str(tmp_path_factory.mktemp("enc_d1"))
+    out2 = str(tmp_path_factory.mktemp("enc_d2"))
+    encode_dataframe(spark, pages, out1, num_parts=5)
+    encode_dataframe(spark, pages, out2, num_parts=5)
+    c1 = {r["part_id"]: (r["fingerprint"], r["encoded_bytes"], r["n_rows"])
+          for r in spark.read.parquet(os.path.join(out1, "checkpoint")).collect()}
+    c2 = {r["part_id"]: (r["fingerprint"], r["encoded_bytes"], r["n_rows"])
+          for r in spark.read.parquet(os.path.join(out2, "checkpoint")).collect()}
+    assert c1 == c2
