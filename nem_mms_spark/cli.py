@@ -1,0 +1,146 @@
+"""Command-line entry points (spark-submit friendly):
+
+  python -m nem_mms_spark.cli generate --rows N --out DIR
+  python -m nem_mms_spark.cli encode   --input PARQUET --out DIR [opts]
+  python -m nem_mms_spark.cli decode   --encoded DIR --out PARQUET [--columns a,b]
+  python -m nem_mms_spark.cli verify   --source PARQUET --encoded DIR [--key url]
+  python -m nem_mms_spark.cli info     [--encoded DIR]
+
+Reference ancestor: the clap dispatch in /root/reference/src/main.rs:91-154
+(parse/fetch/info/manage); fetch is out of scope (our source is a table),
+manage-init is subsumed by encode's directory layout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from nem_mms_spark.session import get_spark
+
+    return get_spark(master=args.master)
+
+
+def cmd_generate(args) -> int:
+    from nem_mms_spark.datagen import web_pages_df
+
+    spark = _spark(args)
+    web_pages_df(spark, args.rows).write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"written": args.out, "rows": args.rows}))
+    return 0
+
+
+def cmd_encode(args) -> int:
+    from nem_mms_spark.jobs.encode import encode_dataframe
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    metrics = encode_dataframe(
+        spark,
+        df,
+        args.out,
+        num_parts=args.num_parts,
+        key_col=args.key,
+        salt_buckets=args.salt_buckets,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from nem_mms_spark.jobs.decode import decode_blocks
+
+    spark = _spark(args)
+    cols = args.columns.split(",") if args.columns else None
+    decode_blocks(spark, args.encoded, columns=cols).write.mode(
+        "overwrite"
+    ).parquet(args.out)
+    print(json.dumps({"written": args.out}))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from nem_mms_spark.jobs.verify import verify_roundtrip
+
+    spark = _spark(args)
+    source = spark.read.parquet(args.source)
+    result = verify_roundtrip(spark, source, args.encoded, key=args.key)
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_info(args) -> int:
+    from nem_mms_spark.codecs import registry
+
+    out = {
+        "codecs": {
+            "bytes": registry.candidate_codecs("bytes"),
+            "int": registry.candidate_codecs("<i8"),
+            "float": registry.candidate_codecs("<f8"),
+        },
+    }
+    if args.encoded:
+        spark = _spark(args)
+        from nem_mms_spark.jobs.decode import read_manifest
+        from pyspark.sql import functions as F
+
+        man = read_manifest(spark, args.encoded)
+        out["columns"] = [
+            r.asDict()
+            for r in man.groupBy("column", "logical_type")
+            .agg(
+                F.sum("n_values").alias("n_values"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("encoded_bytes").alias("encoded_bytes"),
+            )
+            .collect()
+        ]
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="nem_mms_spark")
+    p.add_argument("--master", default=None, help="spark master override")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write a synthetic web_pages table")
+    g.add_argument("--rows", type=int, required=True)
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=cmd_generate)
+
+    e = sub.add_parser("encode", help="encode a parquet table")
+    e.add_argument("--input", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--num-parts", type=int, default=None)
+    e.add_argument("--key", default=None)
+    e.add_argument("--salt-buckets", type=int, default=4)
+    e.add_argument("--no-resume", action="store_true")
+    e.set_defaults(fn=cmd_encode)
+
+    d = sub.add_parser("decode", help="decode blocks back to parquet")
+    d.add_argument("--encoded", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--columns", default=None)
+    d.set_defaults(fn=cmd_decode)
+
+    v = sub.add_parser("verify", help="bit-identical round-trip check")
+    v.add_argument("--source", required=True)
+    v.add_argument("--encoded", required=True)
+    v.add_argument("--key", default="url")
+    v.set_defaults(fn=cmd_verify)
+
+    i = sub.add_parser("info", help="print codec registry / encoded stats")
+    i.add_argument("--encoded", default=None)
+    i.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

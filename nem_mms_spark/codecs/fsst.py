@@ -27,48 +27,54 @@ _SENTINEL = np.int32(-1)
 MAX_SYMBOL_LEN = 8
 MAX_CODES = 255  # code 0 is the escape marker
 DEFAULT_MAX_MERGES = 255
-_MAX_TRAIN_BYTES = 1 << 20
+_MAX_TRAIN_BYTES = 64 << 10
 
 
 class FsstTable:
-    """Trained encoder state: merge rules (encode side) + code table."""
+    """Trained encoder state: the code table (code 1..255 -> symbol bytes)
+    plus a 2-byte-prefix-indexed candidate-slot table for O(K) vectorized
+    longest-match (K = max symbols sharing a 2-byte prefix, typically 2-4;
+    binary search over packed windows is random-access-bound, the slot
+    gather is linear)."""
 
-    __slots__ = ("rules", "symbols", "code_of", "expand", "expand_lens")
+    __slots__ = ("symbol_bytes", "code1", "slot_val", "slot_msk",
+                 "slot_len", "slot_code", "n_slots")
 
-    def __init__(self, rules, symbols, code_of):
-        self.rules = rules          # list[(a, b, new_id)]
-        self.symbols = symbols     # dict[token_id] -> bytes (merged ids only)
-        self.code_of = code_of     # dict[token_id] -> output code (1..255)
-        self._build_expansion()
-
-    def _build_expansion(self):
-        """Per-token output byte strings: coded -> [code]; uncoded raw byte
-        -> [0, byte]; uncoded merged symbol -> per-byte expansion of its
-        constituent bytes."""
-        n_ids = 256 + len(self.rules)
-        outs = []
-        for tid in range(n_ids):
-            code = self.code_of.get(tid)
-            if code is not None:
-                outs.append(bytes([code]))
-            elif tid < 256:
-                outs.append(bytes([0, tid]))
-            else:
-                raw = self.symbols[tid]
-                outs.append(b"".join(outs[b] for b in raw))
-        lens = np.array([len(o) for o in outs], dtype=np.int64)
-        mat = np.zeros((n_ids, int(lens.max()) if n_ids else 1), dtype=np.uint8)
-        for i, o in enumerate(outs):
-            mat[i, : len(o)] = np.frombuffer(o, dtype=np.uint8)
-        self.expand = mat
-        self.expand_lens = lens
+    def __init__(self, symbol_bytes: list[bytes]):
+        # symbol_bytes[i] is the symbol for code i+1
+        self.symbol_bytes = symbol_bytes
+        # direct lookup for 1-byte symbols: byte -> code (0 = none)
+        self.code1 = np.zeros(256, dtype=np.int32)
+        groups: dict[int, list[int]] = {}
+        for i, s in enumerate(symbol_bytes):
+            if len(s) == 1:
+                self.code1[s[0]] = i + 1
+            elif len(s) >= 2:
+                groups.setdefault(s[0] | (s[1] << 8), []).append(i)
+        k = max((len(v) for v in groups.values()), default=0)
+        self.n_slots = k
+        # sentinel: mask 0 with val 1 never matches (w & 0 == 1 is false)
+        self.slot_val = np.full((k, 65536), 1, dtype=np.uint64)
+        self.slot_msk = np.zeros((k, 65536), dtype=np.uint64)
+        self.slot_len = np.zeros((k, 65536), dtype=np.int32)
+        self.slot_code = np.zeros((k, 65536), dtype=np.int32)
+        for pfx, idxs in groups.items():
+            for s_i, i in enumerate(idxs):
+                sym = symbol_bytes[i]
+                ln = len(sym)
+                self.slot_val[s_i, pfx] = np.uint64(
+                    int.from_bytes(sym, "little")
+                )
+                self.slot_msk[s_i, pfx] = np.uint64(
+                    (1 << (8 * ln)) - 1 if ln < 8 else 0xFFFFFFFFFFFFFFFF
+                )
+                self.slot_len[s_i, pfx] = ln
+                self.slot_code[s_i, pfx] = i + 1
 
     def serialized_symbols(self) -> bytes:
         """Decode-side table: for codes 1..n in order, len byte + bytes."""
-        items = sorted(self.code_of.items(), key=lambda kv: kv[1])
-        out = bytearray([len(items)])
-        for tid, _code in items:
-            sym = self.symbols[tid] if tid >= 256 else bytes([tid])
+        out = bytearray([len(self.symbol_bytes)])
+        for sym in self.symbol_bytes:
             out.append(len(sym))
             out += sym
         return bytes(out)
@@ -138,13 +144,15 @@ def train(
         valid &= (sym_len[left] + sym_len[right]) <= MAX_SYMBOL_LEN
         if not valid.any():
             break
-        keys = left[valid].astype(np.int64) * np.int64(next_id + 1) + right[valid]
-        uk, counts = np.unique(keys, return_counts=True)
+        # token ids < next_id (<=511): count pairs with bincount, not a sort
+        k = np.int64(next_id)
+        keys = left[valid].astype(np.int64) * k + right[valid]
+        counts = np.bincount(keys, minlength=0)
         best = int(np.argmax(counts))
         if counts[best] < min_count:
             break
-        a = int(uk[best] // (next_id + 1))
-        b = int(uk[best] % (next_id + 1))
+        a = int(best // k)
+        b = int(best % k)
         sa = symbols.get(a, bytes([a]) if a < 256 else b"")
         sb = symbols.get(b, bytes([b]) if b < 256 else b"")
         symbols[next_id] = sa + sb
@@ -158,8 +166,10 @@ def train(
     gains = counts * (2 * sym_len[ids] - 1)
     order = np.argsort(-gains, kind="stable")
     chosen = ids[order][:MAX_CODES]
-    code_of = {int(tid): i + 1 for i, tid in enumerate(chosen)}
-    return FsstTable(rules, symbols, code_of)
+    symbol_bytes = [
+        symbols[int(t)] if t >= 256 else bytes([int(t)]) for t in chosen
+    ]
+    return FsstTable(symbol_bytes)
 
 
 def encode(
@@ -168,35 +178,90 @@ def encode(
     table: FsstTable | None = None,
     max_merges: int = DEFAULT_MAX_MERGES,
 ) -> tuple[bytes, dict]:
+    """Greedy longest-match FSST encode, fully vectorized:
+
+      1. pack every 8-byte window into a uint64 (8 shifted adds);
+      2. per symbol length 8..1, exact-match windows against the sorted
+         per-length symbol values (searchsorted — no hashing, no
+         collisions) masking matches that would cross a string boundary;
+      3. walk each string greedily: one frontier step advances EVERY
+         string by one token, so total work is O(total tokens);
+      4. emit 1-byte codes / 2-byte escapes by scatter.
+    """
     n = len(offsets) - 1
     if table is None:
         table = train(data, offsets, max_merges=max_merges)
-    tokens = _tokenize(data, offsets)
-    for a, b, new_id in table.rules:
-        tokens = _apply_merge(tokens, a, b, new_id)
+    nb = int(offsets[-1]) if n else 0
+    data = np.ascontiguousarray(data[:nb])
 
-    # sentinel positions delimit strings in token space
-    sent = np.flatnonzero(tokens == _SENTINEL)
-    tok_mask = tokens >= 0
-    toks = tokens[tok_mask]
-    out_lens = table.expand_lens[toks]
-    # encoded byte length per string: tokens between sentinels
-    cum = np.zeros(len(tokens) + 1, dtype=np.int64)
-    np.cumsum(np.where(tok_mask, table.expand_lens[np.maximum(tokens, 0)], 0), out=cum[1:])
-    bounds = np.concatenate([[0], sent + 1, [len(tokens)]]) if n else np.zeros(1, dtype=np.int64)
-    enc_lengths = cum[np.concatenate([sent, [len(tokens)]])] - cum[bounds[:-1]] if n else np.zeros(0, dtype=np.int64)
+    if nb:
+        lengths = np.diff(offsets)
 
-    # flatten expansions
-    total = int(out_lens.sum())
-    if total:
-        maxw = table.expand.shape[1]
-        grid = table.expand[toks]  # (n_tokens, maxw)
-        mask = np.arange(maxw)[None, :] < out_lens[:, None]
-        stream = grid[mask]
+        # matcher runs in cache-sized tiles: the uint64 window array and
+        # slot gathers cost ~50B of traffic per input byte if streamed over
+        # the whole chunk; tiling keeps the working set in L2/L3 (this box
+        # anti-scales past a few cores on bandwidth-bound numpy)
+        match_len = np.ones(nb, dtype=np.int32)
+        match_code = table.code1[data].astype(np.int32)
+        str_end = np.repeat(offsets[1:], lengths)  # per byte position
+        if table.n_slots:
+            TILE = 1 << 18
+            buf_tail = np.zeros(MAX_SYMBOL_LEN, dtype=np.uint8)
+            for t0 in range(0, nb, TILE):
+                t1 = min(t0 + TILE, nb)
+                tl = t1 - t0
+                seg = np.empty(tl + MAX_SYMBOL_LEN, dtype=np.uint8)
+                take = min(nb - t0, tl + MAX_SYMBOL_LEN)
+                seg[:take] = data[t0 : t0 + take]
+                if take < len(seg):
+                    seg[take:] = 0
+                b64 = seg.astype(np.uint64)
+                w = np.zeros(tl, dtype=np.uint64)
+                for k in range(MAX_SYMBOL_LEN):
+                    w |= b64[k : k + tl] << np.uint64(8 * k)
+                pfx = seg[:tl].astype(np.uint16)
+                pfx |= seg[1 : tl + 1].astype(np.uint16) << np.uint16(8)
+                room = (str_end[t0:t1] - np.arange(t0, t1)).astype(np.int32)
+                ml = match_len[t0:t1]
+                mc = match_code[t0:t1]
+                for s in range(table.n_slots):
+                    v = table.slot_val[s][pfx]
+                    m = table.slot_msk[s][pfx]
+                    ln = table.slot_len[s][pfx]
+                    better = ((w & m) == v) & (ln > ml) & (ln <= room)
+                    ml[better] = ln[better]
+                    mc[better] = table.slot_code[s][pfx[better]]
+
+        # greedy frontier walk: token starts
+        visited = np.zeros(nb, dtype=bool)
+        frontier = offsets[:-1][lengths > 0].astype(np.int64)
+        ends = offsets[1:][lengths > 0].astype(np.int64)
+        while len(frontier):
+            visited[frontier] = True
+            frontier = frontier + match_len[frontier]
+            alive = frontier < ends
+            frontier, ends = frontier[alive], ends[alive]
+
+        tok_pos = np.flatnonzero(visited)
+        codes_t = match_code[tok_pos]
+        out_lens = np.where(codes_t > 0, 1, 2).astype(np.int64)
+        cum = np.zeros(len(tok_pos) + 1, dtype=np.int64)
+        np.cumsum(out_lens, out=cum[1:])
+        stream = np.zeros(int(cum[-1]), dtype=np.uint8)
+        coded = codes_t > 0
+        stream[cum[:-1][coded]] = codes_t[coded]
+        esc = ~coded
+        stream[cum[:-1][esc]] = 0
+        stream[cum[:-1][esc] + 1] = data[tok_pos[esc]]
+
+        # encoded byte length per string
+        tok_bounds = np.searchsorted(tok_pos, offsets)
+        enc_lengths = cum[tok_bounds[1:]] - cum[tok_bounds[:-1]]
     else:
         stream = np.zeros(0, dtype=np.uint8)
+        enc_lengths = np.zeros(n, dtype=np.int64)
 
-    lw = bit_width(int(enc_lengths.max())) if n and len(enc_lengths) else 0
+    lw = bit_width(int(enc_lengths.max())) if len(enc_lengths) else 0
     packed = pack_uints(enc_lengths.astype(np.uint64), lw)
     header = table.serialized_symbols()
     payload = header + packed + stream.tobytes()

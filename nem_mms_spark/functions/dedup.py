@@ -1,0 +1,174 @@
+"""Deduplication operators for web-scale corpora.
+
+  exact            hash-groupBy on content fingerprint (one shuffle)
+  ngram Jaccard    word-shingle explode + self-join on shingle
+  MinHash + LSH    per-doc signature via min(xxhash64(shingle, seed)),
+                   banded bucket join -> candidate pairs (the scalable
+                   near-dup path: no O(n^2) compare, shuffle on band key)
+  SimHash          64-bit sign-sum of token hashes, all JVM-side aggs
+
+Everything stays in built-in functions (xxhash64, explode, groupBy) so the
+shuffles are the only cost; at 100 TB the LSH band join is the intended
+path and the pairwise Jaccard is a verification tool for candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from nem_mms_spark.functions.text import tokens_col
+
+
+def exact_dedup_stats(documents: DataFrame) -> DataFrame:
+    """Per-lang distinct/total text counts (hash-groupBy dedup metrics)."""
+    return (
+        documents.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_distinct"),
+        )
+        .withColumn("dup_docs", F.col("n_docs") - F.col("n_distinct"))
+        .select("lang", "n_docs", "n_distinct", "dup_docs")
+    )
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts (keep-first policy ready)."""
+    return (
+        documents.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def shingles_df(
+    documents: DataFrame, k: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word k-shingles per document (explode path)."""
+    toks = tokens_col(F.lower(F.col("text")))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return (
+        documents.select(id_col, F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairwise n-gram Jaccard via shingle self-join (verification-scale;
+    run on LSH candidates at scale, never the full corpus)."""
+    sh = shingles_df(documents, k, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "raw_j",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("raw_j") >= threshold)  # threshold on the raw value
+        .select(
+            "doc_a", "doc_b", "n_common", F.round("raw_j", 4).alias("jaccard")
+        )
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, n_perm: int = 16, k: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per doc: perm i = min(xxhash64(shingle, i))."""
+    sh = shingles_df(documents, k, id_col)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(n_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame,
+    n_perm: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+    Shuffles on band-bucket key only — the 100 TB-safe near-dup join."""
+    rows_per_band = n_perm // bands
+    sig = minhash_signatures(documents, n_perm, k, id_col)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
+        )
+    exploded = sig.select(
+        id_col, F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash_df(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: sign of per-bit sums of token hashes.
+    Pure JVM aggregation (64 conditional sums)."""
+    toks = documents.select(
+        id_col, F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        # bit 63 of an int64 is the sign bit: its set-value is -(2**63)
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(bit_val)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select(id_col, sim.alias("simhash"))

@@ -38,7 +38,7 @@ from nem_mms_spark import framing
 from nem_mms_spark import manifest as M
 from nem_mms_spark.selector import ColumnContext, select_and_encode
 
-DEFAULT_SALT_BUCKETS = 4
+DEFAULT_SALT_BUCKETS = 8
 
 
 def with_part_id(
@@ -102,7 +102,8 @@ def encode_dataframe(
         .parquet(os.path.join(out_dir, M.BLOCKS_DIR))
     )
 
-    # manifest + checkpoint from block METADATA only (payload pruned away)
+    # manifest + checkpoint from block METADATA only (payload pruned away);
+    # cached: three derived aggregations share one scan
     bmeta = spark.read.parquet(os.path.join(out_dir, M.BLOCKS_DIR)).select(
         "part_id", "block_id", "col_idx", "column", "logical_type", "codec",
         "value_count", "null_count", "raw_bytes", "encoded_bytes",
@@ -110,6 +111,7 @@ def encode_dataframe(
     )
     if done is not None and n_done:
         bmeta = bmeta.join(F.broadcast(done), "part_id", "left_anti")
+    bmeta = bmeta.cache()
 
     per_codec = bmeta.groupBy(
         "part_id", "col_idx", "column", "logical_type", "codec"
@@ -164,6 +166,7 @@ def encode_dataframe(
     # previously-done partitions' checkpoint dirs untouched
     ckpt.write_checkpoint_rows(ck, out_dir)
 
+    bmeta.unpersist()
     summary = (
         spark.read.parquet(ckpt.checkpoint_path(out_dir))
         .agg(

@@ -23,19 +23,24 @@ from nem_mms_spark.codecs.basic import _factorize_bytes
 from nem_mms_spark.codecs.primitives import bit_width, run_ends
 
 _FSST_SAMPLE_BYTES = 64 << 10
-_FSST_MIN_BYTES = 2 << 10
+# below this, DICT/RLE/PLAIN cover the chunk and the table-train cost
+# cannot amortize — skip the FSST candidate entirely
+_FSST_MIN_BYTES = 32 << 10
 
 
 class ColumnContext:
     """Per-(partition, column) shared state: one FSST table per partition
     column (north_star: symbol table per partition-column, not per block),
-    trained lazily on the first qualifying chunk."""
+    trained lazily on the first qualifying chunk.  The sampled compression
+    ratio is measured once and reused by later chunks' cost models —
+    re-sampling every block would spend more than it saves."""
 
-    __slots__ = ("fsst_table", "fsst_failed")
+    __slots__ = ("fsst_table", "fsst_failed", "fsst_ratio")
 
     def __init__(self):
         self.fsst_table = None
         self.fsst_failed = False
+        self.fsst_ratio = None
 
 
 def select_and_encode(values, dtype: str, ctx: ColumnContext | None = None):
@@ -86,18 +91,21 @@ def _select_bytes(values, ctx: ColumnContext):
     if data_len >= _FSST_MIN_BYTES and not ctx.fsst_failed:
         if ctx.fsst_table is None:
             ctx.fsst_table = fsst_mod.train(data, offsets)
-            if not ctx.fsst_table.rules:
+            if not ctx.fsst_table.symbol_bytes:
                 ctx.fsst_failed = True
         if not ctx.fsst_failed:
-            # contract: offsets[0] == 0 (framing normalizes chunk offsets)
-            cut = int(np.searchsorted(offsets, _FSST_SAMPLE_BYTES))
-            cut = min(max(cut, 1), n)
-            sp, _ = fsst_mod.encode(
-                data[: offsets[cut]], offsets[: cut + 1], table=ctx.fsst_table
+            if ctx.fsst_ratio is None:
+                # contract: offsets[0] == 0 (framing normalizes offsets)
+                cut = int(np.searchsorted(offsets, _FSST_SAMPLE_BYTES))
+                cut = min(max(cut, 1), n)
+                sp, _ = fsst_mod.encode(
+                    data[: offsets[cut]], offsets[: cut + 1],
+                    table=ctx.fsst_table,
+                )
+                ctx.fsst_ratio = len(sp) / max(int(offsets[cut]), 1)
+            est[registry.FSST] = (
+                int(ctx.fsst_ratio * data_len) + (n * len_bits + 7) // 8
             )
-            sample_len = int(offsets[cut])
-            ratio = len(sp) / max(sample_len, 1)
-            est[registry.FSST] = int(ratio * data_len) + (n * len_bits + 7) // 8
             fsst_kw = {"table": ctx.fsst_table}
 
     winner = _argmin(est, registry.candidate_codecs("bytes"))

@@ -1,0 +1,88 @@
+"""Plan hygiene (pushdown / pruning / broadcast), streaming incremental
+encode, and multimodal stub plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from nem_mms_spark import plans
+from nem_mms_spark.functions import multimodal as MM
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_orderkey") == 42)
+        .select("l_orderkey", "l_quantity")
+    )
+    pushed = plans.scan_pushed_filters(df)
+    assert "l_orderkey" in pushed, pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    schema = plans.scan_read_schema(df)
+    assert "l_quantity" in schema and "l_extendedprice" not in schema, schema
+
+
+def test_dim_join_broadcasts(spark):
+    from nem_mms_spark.queries import q5_nation_revenue
+
+    assert plans.has_broadcast_join(q5_nation_revenue(spark, SF))
+
+
+def test_incremental_encode_two_batches(spark, tmp_path):
+    from nem_mms_spark.datagen import web_pages_df
+    from nem_mms_spark.jobs.decode import decode_blocks
+    from nem_mms_spark.streaming import incremental_encode
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "enc")
+    web_pages_df(spark, 500).write.mode("append").parquet(src)
+    incremental_encode(spark, src, out, num_parts=2)
+    # a second file arrives; only the new data is processed
+    web_pages_df(spark, 300).filter(F.col("url").isNotNull()).write.mode(
+        "append"
+    ).parquet(src)
+    incremental_encode(spark, src, out, num_parts=2)
+
+    import glob
+
+    batches = sorted(glob.glob(out + "/batch=*"))
+    assert len(batches) >= 2
+    total = sum(decode_blocks(spark, b).count() for b in batches)
+    assert total == 800
+
+
+def test_multimodal_feature_extraction(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "image": [MM.make_fake_image(4, 4, 3, seed=1), MM.make_fake_image(2, 2, 1, seed=2)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    meta = {r["doc_id"]: r for r in MM.decode_image_meta(df).collect()}
+    assert meta[1]["width"] == 4 and meta[1]["channels"] == 3
+    assert meta[2]["format"] == "fake"
+    feats = MM.extract_features(df, n_features=4).collect()
+    assert all(len(r["features"]) == 4 for r in feats)
+
+
+def test_multimodal_unknown_format_raises(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "image": [b"\x89PNG fake header"]})
+    )
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        MM.extract_features(df).collect()

@@ -1,0 +1,88 @@
+"""Replicates the driver's correctness gate locally: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same parquet at
+sf0.001, compare row count + column names + order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(rows, cols):
+    """Sort columns by name, canonicalize values, sort rows."""
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in idx:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 6)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+ORACLE = entrymod.oracle_sql()
+ALL = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(spark, ddb, name):
+    sdf = ALL[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(ORACLE[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} vs oracle {len(drows)}"
+    )
+    sn = normalize(srows, scols)
+    dn = normalize(drows, dcols)
+    mism = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+    assert sn == dn, f"{name}: first mismatches {mism}"
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL) - set(ORACLE)))
+def test_rows_only_queries_run(spark, name):
+    df = ALL[name](spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    if name in ("simhash_fingerprints", "encode_roundtrip_metrics",
+                "multimodal_image_meta", "ann_lsh_topk"):
+        assert n > 0, f"{name} unexpectedly empty"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    cols = {r["column"] for r in rows}
+    assert {"text", "lang", "doc_id"} <= cols
