@@ -29,7 +29,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_ROWS = int(os.environ.get("BENCH_ROWS", "200000"))
+BENCH_ROWS = int(os.environ.get("BENCH_ROWS", "120000"))
 # N vs 4N parallelism (the sandbox stand-in for N vs 4N executors).
 # 2 vs 8: this box's memory bandwidth saturates near 8 concurrent numpy
 # workers and ANTI-scales beyond (measured: 32 procs slower than 8 on
@@ -91,29 +91,53 @@ def run_encode_scaling(tmp: str) -> dict:
     spark.read.parquet(src).write.mode("overwrite").parquet(ref)
     spark.stop()
 
+    # one untimed machine-warming encode first: the first encode on a cold
+    # machine pays page-cache/JIT costs later runs don't (measured: 284s
+    # cold vs 196s warm at local[1]), which would bias whichever config
+    # runs first.  After the warm pass, one timed run per config.
+    spark = _new_spark(SCALING_MASTERS[-1])
+    _warm_up(spark, src)
+    encode_dataframe(
+        spark,
+        spark.read.parquet(src),
+        os.path.join(tmp, "enc_warm"),
+        num_parts=32,
+        resume=False,
+    )
+    spark.stop()
+
+    # hypervisor noise on this box is one-sided (interference only adds
+    # time; observed 64-98s for identical local[1] runs), so min over two
+    # interleaved reps estimates steady-state throughput at each level
+    walls: dict[int, list[float]] = {c: [] for c in SCALING_MASTERS}
+    raw_bytes = rows = ratio = None
+    for _rep in range(2):
+        for cores in SCALING_MASTERS:
+            spark = _new_spark(cores)
+            _warm_up(spark, src)
+            df = spark.read.parquet(src)
+            out = os.path.join(tmp, f"enc_{cores}")
+            t0 = time.monotonic()
+            # partitions sized ~10-20 MB raw: big enough to amortize the
+            # per-partition symbol-table training, small enough for smooth
+            # wave scheduling (same sizing logic as a real cluster run)
+            m = encode_dataframe(
+                spark, df, out, num_parts=32, resume=False
+            )
+            walls[cores].append(time.monotonic() - t0)
+            raw_bytes, rows, ratio = m["raw_bytes"], m["rows"], m["ratio"]
+            spark.stop()
+
     results = {}
-    raw_bytes = rows = None
     for cores in SCALING_MASTERS:
-        spark = _new_spark(cores)
-        _warm_up(spark, src)
-        df = spark.read.parquet(src)
-        out = os.path.join(tmp, f"enc_{cores}")
-        t0 = time.monotonic()
-        # partitions sized ~10-20 MB raw: big enough to amortize the
-        # per-partition symbol-table training, small enough for smooth
-        # wave scheduling (same sizing logic as a real cluster run)
-        m = encode_dataframe(
-            spark, df, out, num_parts=32, resume=False
-        )
-        wall = time.monotonic() - t0
-        raw_bytes, rows = m["raw_bytes"], m["rows"]
+        wall = min(walls[cores])
         results[cores] = {
             "wall_s": round(wall, 3),
-            "gb_per_s": round(m["raw_bytes"] / wall / 1e9, 4),
-            "docs_per_s": round(m["rows"] / wall, 1),
-            "ratio_vs_raw": round(m["ratio"], 4),
+            "all_reps_s": [round(w, 3) for w in walls[cores]],
+            "gb_per_s": round(raw_bytes / wall / 1e9, 4),
+            "docs_per_s": round(rows / wall, 1),
+            "ratio_vs_raw": round(ratio, 4),
         }
-        spark.stop()
 
     lo, hi = SCALING_MASTERS
     eff = (results[lo]["wall_s"] / results[hi]["wall_s"]) / (hi / lo)
@@ -184,10 +208,15 @@ def write_baseline_md(enc: dict) -> None:
         f"Input: deterministic synthetic web_pages, {enc['rows']} rows, "
         f"{enc['raw_bytes']/1e6:.1f} MB raw (in-memory column bytes).",
         "",
-        "| config | wall (s) | GB/s | docs/s |",
-        "|---|---|---|---|",
-        f"| local[{lo}] | {r[lo]['wall_s']} | {r[lo]['gb_per_s']} | {r[lo]['docs_per_s']} |",
-        f"| local[{hi}] | {r[hi]['wall_s']} | {r[hi]['gb_per_s']} | {r[hi]['docs_per_s']} |",
+        "Protocol: one untimed machine-warming encode, then two timed reps "
+        "per parallelism level, interleaved; reported wall = min (hypervisor "
+        "noise is one-sided). Identical job, identical input at both levels "
+        "— the sandbox stand-in for N vs 4N executors.",
+        "",
+        "| config | wall (s) | reps (s) | GB/s | docs/s |",
+        "|---|---|---|---|---|",
+        f"| local[{lo}] | {r[lo]['wall_s']} | {r[lo]['all_reps_s']} | {r[lo]['gb_per_s']} | {r[lo]['docs_per_s']} |",
+        f"| local[{hi}] | {r[hi]['wall_s']} | {r[hi]['all_reps_s']} | {r[hi]['gb_per_s']} | {r[hi]['docs_per_s']} |",
         "",
         f"**Scaling efficiency {lo}->{hi} cores: {enc['scaling_efficiency']}**"
         f" (target >= 0.8; efficiency = (T{lo}/T{hi})/{hi//lo})",

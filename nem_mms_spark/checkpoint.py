@@ -60,3 +60,80 @@ def write_checkpoint_rows(rows: DataFrame, out_dir: str) -> None:
         .partitionBy("part_id")
         .parquet(checkpoint_path(out_dir))
     )
+
+
+def checkpoint_rows_from_manifest(man_rows) -> list[dict]:
+    """Derive per-partition lineage rows from collected manifest rows
+    (one row per partition-column; tiny)."""
+    parts: dict[int, dict] = {}
+    for r in man_rows:
+        p = parts.setdefault(
+            r["part_id"],
+            {
+                "part_id": r["part_id"],
+                "status": "done",
+                "n_rows": 0,
+                "n_blocks": 0,
+                "n_columns": 0,
+                "raw_bytes": 0,
+                "encoded_bytes": 0,
+                "fingerprint": r["fingerprint"],
+                "encode_ns": 0,
+            },
+        )
+        if r["col_idx"] == 0:
+            p["n_rows"] = r["n_values"]
+            p["n_blocks"] = r["n_blocks"]
+        p["n_columns"] += 1
+        p["raw_bytes"] += r["raw_bytes"]
+        p["encoded_bytes"] += r["encoded_bytes"]
+        p["encode_ns"] = max(p["encode_ns"], r["encode_ns"])
+    return [parts[k] for k in sorted(parts)]
+
+
+def commit_checkpoint_rows(rows: list[dict], out_dir: str) -> None:
+    """Driver-side metadata commit (catalog style): one parquet file per
+    encode run, named by a digest of its content so a retried commit is
+    idempotent.  No Spark job — the checkpoint table is one row per
+    partition.  (Object-store deployments would route this through the
+    catalog; the sandbox uses the local FS.)"""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not rows:
+        return
+    path = checkpoint_path(out_dir)
+    os.makedirs(path, exist_ok=True)
+    digest = hashlib.md5(
+        ",".join(f"{r['part_id']}:{r['fingerprint']}" for r in rows).encode()
+    ).hexdigest()[:16]
+    cols = list(rows[0].keys())
+    table = pa.table({c: [r[c] for r in rows] for c in cols})
+    tmp = os.path.join(path, f".run-{digest}.parquet.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(path, f"run-{digest}.parquet"))
+
+
+def checkpoint_totals(out_dir: str) -> dict:
+    """Aggregate lineage totals, driver-side (the table is tiny)."""
+    import pyarrow.dataset as ds
+
+    data = ds.dataset(checkpoint_path(out_dir), format="parquet").to_table()
+    n_rows = sum(data.column("n_rows").to_pylist())
+    raw = sum(data.column("raw_bytes").to_pylist())
+    enc = sum(data.column("encoded_bytes").to_pylist())
+    return {
+        "parts": data.num_rows,
+        "rows": n_rows,
+        "raw_bytes": raw,
+        "encoded_bytes": enc,
+        "ratio": enc / max(raw, 1),
+    }
+
+
+def clear_checkpoint(out_dir: str) -> None:
+    import shutil
+
+    shutil.rmtree(checkpoint_path(out_dir), ignore_errors=True)

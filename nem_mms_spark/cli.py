@@ -73,6 +73,30 @@ def cmd_verify(args) -> int:
     return 0
 
 
+def cmd_parse(args) -> int:
+    """MMS flat-file parse -> one parquet dataset per package (the
+    reference's flagship `parse` subcommand, main.rs:92-99)."""
+    from nem_mms_spark.sources.flatfile import flatfiles_to_parquet
+
+    spark = _spark(args)
+    written = flatfiles_to_parquet(spark, args.input, args.out)
+    print(json.dumps(written))
+    return 0
+
+
+def cmd_stream(args) -> int:
+    """Drain currently-available files from a landing dir into encoded
+    blocks (incremental encode; availableNow trigger)."""
+    from nem_mms_spark.streaming import incremental_encode
+
+    spark = _spark(args)
+    incremental_encode(
+        spark, args.input, args.out, num_parts=args.num_parts
+    )
+    print(json.dumps({"drained": args.input, "out": args.out}))
+    return 0
+
+
 def cmd_info(args) -> int:
     from nem_mms_spark.codecs import registry
 
@@ -133,6 +157,17 @@ def main(argv=None) -> int:
     v.add_argument("--encoded", required=True)
     v.add_argument("--key", default="url")
     v.set_defaults(fn=cmd_verify)
+
+    pa = sub.add_parser("parse", help="parse MMS flat files to parquet")
+    pa.add_argument("--input", required=True)
+    pa.add_argument("--out", required=True)
+    pa.set_defaults(fn=cmd_parse)
+
+    st = sub.add_parser("stream", help="incremental encode of a landing dir")
+    st.add_argument("--input", required=True)
+    st.add_argument("--out", required=True)
+    st.add_argument("--num-parts", type=int, default=None)
+    st.set_defaults(fn=cmd_stream)
 
     i = sub.add_parser("info", help="print codec registry / encoded stats")
     i.add_argument("--encoded", default=None)

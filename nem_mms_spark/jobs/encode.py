@@ -81,6 +81,10 @@ def encode_dataframe(
 
     source_cols = df.columns
     work = with_part_id(df, num_parts, key_col, salt_buckets)
+    if not resume:
+        # fresh encode = fresh lineage (prevents duplicate part rows when
+        # re-encoding an existing output dir from scratch)
+        ckpt.clear_checkpoint(out_dir)
     done = ckpt.done_parts(spark, out_dir) if resume else None
     n_done = 0
     if done is not None:
@@ -121,6 +125,8 @@ def encode_dataframe(
         F.sum("null_count").alias("null_count"),
         F.sum("raw_bytes").alias("raw_bytes"),
         F.sum("encoded_bytes").alias("encoded_bytes"),
+        F.max("fingerprint").alias("fingerprint"),
+        F.max("encode_ns").alias("encode_ns"),
     )
     man = (
         per_codec.groupBy("part_id", "col_idx", "column", "logical_type")
@@ -135,58 +141,31 @@ def encode_dataframe(
                     F.array_sort(F.collect_list(F.struct("codec", "cnt")))
                 )
             ).alias("codecs"),
+            F.max("fingerprint").alias("fingerprint"),
+            F.max("encode_ns").alias("encode_ns"),
         )
     )
+    # single aggregation job: collect the manifest (tiny — one row per
+    # partition-column) and derive the checkpoint rows driver-side; the
+    # checkpoint commit is a driver-side metadata write (catalog-commit
+    # style), not a Spark job
+    man_rows = man.collect()
+    bmeta.unpersist()
+    man_df = spark.createDataFrame(man_rows, man.schema) if man_rows else man
     (
-        man.write.mode("overwrite")
+        man_df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("part_id")
         .parquet(os.path.join(out_dir, M.MANIFEST_DIR))
     )
-
-    # checkpoint last: its row is the durable 'partition done' marker
-    ck = (
-        bmeta.groupBy("part_id")
-        .agg(
-            F.sum(F.when(F.col("col_idx") == 0, F.col("value_count")).otherwise(0)).alias("n_rows"),
-            (F.countDistinct("block_id")).alias("n_blocks"),
-            F.countDistinct("column").cast("int").alias("n_columns"),
-            F.sum("raw_bytes").alias("raw_bytes"),
-            F.sum("encoded_bytes").alias("encoded_bytes"),
-            F.max("fingerprint").alias("fingerprint"),
-            F.max("encode_ns").alias("encode_ns"),
-        )
-        .withColumn("status", F.lit("done"))
-        .select(
-            "part_id", "status", "n_rows", "n_blocks", "n_columns",
-            "raw_bytes", "encoded_bytes", "fingerprint", "encode_ns",
-        )
+    ckpt.commit_checkpoint_rows(
+        ckpt.checkpoint_rows_from_manifest(man_rows), out_dir
     )
-    # dynamic partition overwrite: writing only this run's rows leaves
-    # previously-done partitions' checkpoint dirs untouched
-    ckpt.write_checkpoint_rows(ck, out_dir)
 
-    bmeta.unpersist()
-    summary = (
-        spark.read.parquet(ckpt.checkpoint_path(out_dir))
-        .agg(
-            F.count("*").alias("parts"),
-            F.sum("n_rows").alias("rows"),
-            F.sum("raw_bytes").alias("raw_bytes"),
-            F.sum("encoded_bytes").alias("encoded_bytes"),
-        )
-        .collect()[0]
-    )
     if done is not None:
         done.unpersist()
-    return {
-        "parts": summary["parts"],
-        "rows": summary["rows"],
-        "raw_bytes": summary["raw_bytes"],
-        "encoded_bytes": summary["encoded_bytes"],
-        "ratio": (summary["encoded_bytes"] or 0) / max(summary["raw_bytes"] or 1, 1),
-        "skipped_parts": n_done,
-    }
+    totals = ckpt.checkpoint_totals(out_dir)
+    return {**totals, "skipped_parts": n_done}
 
 
 def _make_encoder(source_cols, block_rows, block_bytes, key_col):
