@@ -219,7 +219,9 @@ def write_baseline_md(enc: dict) -> None:
         f"| local[{hi}] | {r[hi]['wall_s']} | {r[hi]['all_reps_s']} | {r[hi]['gb_per_s']} | {r[hi]['docs_per_s']} |",
         "",
         f"**Scaling efficiency {lo}->{hi} cores: {enc['scaling_efficiency']}**"
-        f" (target >= 0.8; efficiency = (T{lo}/T{hi})/{hi//lo})",
+        f" (target >= 0.8; efficiency = (T{lo}/T{hi})/{hi//lo}). Values above"
+        " 1.0 are measurement noise (one-sided hypervisor interference on"
+        " the longer single-core run) and should be read as ~1.0.",
         "",
         f"Compressed size vs reference parquet (snappy+dict defaults): "
         f"**{enc['size_vs_reference_parquet']}** "

@@ -22,6 +22,8 @@ Codec ids (the registry; reference ancestor: the DataType dispatch enum,
     DELTA_FOR_BITPACK first value + FOR+bitpack of successive diffs [ints]
     FSST             static symbol-table string compression (pair-merge
                      trained, <=8-byte symbols, escape code 0)      [bytes]
+    WORD_DICT        space-tokenized dictionary coding (lossless on
+                     arbitrary bytes; wins on natural text)         [bytes]
 """
 
 from nem_mms_spark.codecs import registry as registry  # noqa: F401

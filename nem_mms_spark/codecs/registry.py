@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from nem_mms_spark.codecs import basic, fsst
+from nem_mms_spark.codecs import basic, fsst, worddict
 
 PLAIN = "PLAIN"
 DICT = "DICT"
@@ -26,6 +26,7 @@ RLE = "RLE"
 FOR_BITPACK = "FOR_BITPACK"
 DELTA_FOR_BITPACK = "DELTA_FOR_BITPACK"
 FSST = "FSST"
+WORD_DICT = "WORD_DICT"
 
 INT_DTYPES = {"<i8", "<i4", "<i2", "i1", "u1"}
 FLOAT_DTYPES = {"<f8", "<f4"}
@@ -35,7 +36,7 @@ BYTES_DTYPE = "bytes"
 # selector resolve toward the earlier entry)
 _NUMERIC_INT_CANDIDATES = [PLAIN, FOR_BITPACK, DELTA_FOR_BITPACK, DICT, RLE]
 _NUMERIC_FLOAT_CANDIDATES = [PLAIN, DICT, RLE]
-_BYTES_CANDIDATES = [PLAIN, DICT, RLE, FSST]
+_BYTES_CANDIDATES = [PLAIN, DICT, RLE, WORD_DICT, FSST]
 
 
 def candidate_codecs(dtype: str) -> list[str]:
@@ -58,6 +59,8 @@ def encode_block(values, dtype: str, codec: str, **kw) -> tuple[bytes, dict]:
             return basic.encode_dict_bytes(data, offsets, **kw)
         if codec == RLE:
             return basic.encode_rle_bytes(data, offsets, **kw)
+        if codec == WORD_DICT:
+            return worddict.encode(data, offsets, **kw)
         if codec == FSST:
             return fsst.encode(data, offsets, **kw)
         raise ValueError(f"codec {codec} not applicable to bytes")
@@ -90,6 +93,8 @@ def decode_block(payload: bytes, params: dict, count: int, dtype: str, codec: st
             return basic.decode_dict_bytes(payload, params, count)
         if codec == RLE:
             return basic.decode_rle_bytes(payload, params, count)
+        if codec == WORD_DICT:
+            return worddict.decode(payload, params, count)
         if codec == FSST:
             return fsst.decode(payload, params, count)
         raise ValueError(f"codec {codec} not applicable to bytes")

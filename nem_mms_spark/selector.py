@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from nem_mms_spark.codecs import fsst as fsst_mod
-from nem_mms_spark.codecs import registry
+from nem_mms_spark.codecs import registry, worddict
 from nem_mms_spark.codecs.basic import _factorize_bytes
 from nem_mms_spark.codecs.primitives import bit_width, run_ends
 
@@ -87,6 +87,24 @@ def _select_bytes(values, ctx: ColumnContext):
         registry.RLE: rle_est,
     }
 
+    # WORD_DICT: exact size via one tokenize+factorize pass (same cost
+    # class as the DICT estimate); only sensible for longer strings
+    wd_kw = {}
+    if data_len // max(n, 1) >= 16:
+        tok = worddict.tokenize(data, offsets)
+        wcodes, wuniq = worddict.factorize_tokens(data, tok)
+        card_w = len(wuniq[1]) - 1
+        ulen_w = int(wuniq[1][-1])
+        cw = bit_width(max(card_w - 1, 0))
+        uw_bits = bit_width(int(np.diff(wuniq[1]).max())) if card_w else 0
+        est[registry.WORD_DICT] = (
+            ulen_w
+            + (card_w * uw_bits + 7) // 8
+            + (len(wcodes) * cw + 7) // 8
+            + (n * 8 + 7) // 8  # token-count prefix
+        )
+        wd_kw = {"token_offsets": tok, "codes": wcodes, "uniq": wuniq}
+
     fsst_kw = {}
     if data_len >= _FSST_MIN_BYTES and not ctx.fsst_failed:
         if ctx.fsst_table is None:
@@ -114,6 +132,8 @@ def _select_bytes(values, ctx: ColumnContext):
         kw = {"codes": codes, "uniq": uniq}
     elif winner == registry.RLE:
         kw = {"codes": codes}
+    elif winner == registry.WORD_DICT:
+        kw = wd_kw
     elif winner == registry.FSST:
         kw = fsst_kw
     payload, params = registry.encode_block(values, "bytes", winner, **kw)
