@@ -201,6 +201,90 @@ def encode_delta_for_bitpack(values: np.ndarray) -> tuple[bytes, dict]:
     return pack_uints(deltas, w), {"first": int(v[0]), "ref": ref, "w": w}
 
 
+def _pfor_pick_width(deltas: np.ndarray) -> int:
+    """Width minimizing base-bits + exception cost (patched FOR: values
+    wider than w are stored verbatim with their bit-packed positions)."""
+    if len(deltas) == 0:
+        return 0
+    # exact bit length for uint64 (log2 alone is float-imprecise near 2^53+)
+    bits = np.zeros(len(deltas), dtype=np.int64)
+    v = deltas.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(shift))
+        bits[m] += shift
+        v[m] >>= np.uint64(shift)
+    bits[deltas > 0] += 1
+    hist = np.bincount(np.clip(bits, 0, 64), minlength=65)
+    n = len(deltas)
+    exc_tail = n - np.cumsum(hist)  # exceptions if w = index
+    pos_bits = max(int(n - 1).bit_length(), 1)
+    costs = [
+        n * w + int(exc_tail[w]) * (64 + pos_bits) for w in range(65)
+    ]
+    return int(np.argmin(costs))
+
+
+def encode_pfor_bitpack(values: np.ndarray) -> tuple[bytes, dict]:
+    """FOR + bit-pack with patched exceptions (outliers verbatim)."""
+    v = values.astype(np.int64, copy=False)
+    if len(v) == 0:
+        return b"", {"ref": 0, "w": 0, "nexc": 0, "pw": 0, "blen": 0, "plen": 0}
+    ref = int(v.min())
+    deltas = (v - ref).astype(np.uint64)
+    w = _pfor_pick_width(deltas)
+    limit = np.uint64((1 << w) - 1) if w < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    exc = np.flatnonzero(deltas > limit)
+    base = deltas.copy()
+    base[exc] = 0
+    pw = bit_width(int(exc.max())) if len(exc) else 0
+    payload = (
+        pack_uints(base, w)
+        + pack_uints(exc.astype(np.uint64), pw)
+        + deltas[exc].astype("<u8").tobytes()
+    )
+    return payload, {"ref": ref, "w": w, "nexc": int(len(exc)), "pw": pw,
+                     "blen": len(pack_uints(base, w)),
+                     "plen": len(pack_uints(exc.astype(np.uint64), pw))}
+
+
+def decode_pfor_bitpack(payload: bytes, params: dict, count: int, dtype: str) -> np.ndarray:
+    blen, plen = params["blen"], params["plen"]
+    deltas = unpack_uints(payload[:blen], params["w"], count)
+    if params["nexc"]:
+        pos = unpack_uints(
+            payload[blen : blen + plen], params["pw"], params["nexc"]
+        ).astype(np.int64)
+        vals = np.frombuffer(
+            payload, dtype="<u8", count=params["nexc"], offset=blen + plen
+        )
+        deltas = deltas.copy()
+        deltas[pos] = vals
+    return (deltas.astype(np.int64) + np.int64(params["ref"])).astype(np.dtype(dtype))
+
+
+def encode_delta_pfor_bitpack(values: np.ndarray) -> tuple[bytes, dict]:
+    v = values.astype(np.int64, copy=False)
+    if len(v) <= 1:
+        first = int(v[0]) if len(v) else 0
+        return b"", {"first": first, "ref": 0, "w": 0, "nexc": 0, "pw": 0,
+                     "blen": 0, "plen": 0}
+    payload, params = encode_pfor_bitpack(np.diff(v))
+    params["first"] = int(v[0])
+    return payload, params
+
+
+def decode_delta_pfor_bitpack(payload: bytes, params: dict, count: int, dtype: str) -> np.ndarray:
+    out = np.empty(count, dtype=np.int64)
+    if count == 0:
+        return out.astype(np.dtype(dtype))
+    out[0] = params["first"]
+    if count > 1:
+        d = decode_pfor_bitpack(payload, params, count - 1, "<i8")
+        out[1:] = d
+        np.cumsum(out, out=out)
+    return out.astype(np.dtype(dtype))
+
+
 def decode_delta_for_bitpack(payload: bytes, params: dict, count: int, dtype: str) -> np.ndarray:
     out = np.empty(count, dtype=np.int64)
     if count == 0:

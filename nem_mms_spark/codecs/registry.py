@@ -25,6 +25,8 @@ DICT = "DICT"
 RLE = "RLE"
 FOR_BITPACK = "FOR_BITPACK"
 DELTA_FOR_BITPACK = "DELTA_FOR_BITPACK"
+PFOR_BITPACK = "PFOR_BITPACK"
+DELTA_PFOR_BITPACK = "DELTA_PFOR_BITPACK"
 FSST = "FSST"
 WORD_DICT = "WORD_DICT"
 
@@ -34,7 +36,10 @@ BYTES_DTYPE = "bytes"
 
 # candidate codecs per kind, in decode-cheapness order (ties in the
 # selector resolve toward the earlier entry)
-_NUMERIC_INT_CANDIDATES = [PLAIN, FOR_BITPACK, DELTA_FOR_BITPACK, DICT, RLE]
+_NUMERIC_INT_CANDIDATES = [
+    PLAIN, FOR_BITPACK, DELTA_FOR_BITPACK, PFOR_BITPACK,
+    DELTA_PFOR_BITPACK, DICT, RLE,
+]
 _NUMERIC_FLOAT_CANDIDATES = [PLAIN, DICT, RLE]
 _BYTES_CANDIDATES = [PLAIN, DICT, RLE, WORD_DICT, FSST]
 
@@ -81,6 +86,12 @@ def encode_block(values, dtype: str, codec: str, **kw) -> tuple[bytes, dict]:
     if codec == DELTA_FOR_BITPACK:
         _require_int(dtype, codec)
         return basic.encode_delta_for_bitpack(arr)
+    if codec == PFOR_BITPACK:
+        _require_int(dtype, codec)
+        return basic.encode_pfor_bitpack(arr)
+    if codec == DELTA_PFOR_BITPACK:
+        _require_int(dtype, codec)
+        return basic.encode_delta_pfor_bitpack(arr)
     raise ValueError(f"unknown codec {codec!r}")
 
 
@@ -113,6 +124,10 @@ def decode_block(payload: bytes, params: dict, count: int, dtype: str, codec: st
         return basic.decode_for_bitpack(payload, params, count, dtype)
     if codec == DELTA_FOR_BITPACK:
         return basic.decode_delta_for_bitpack(payload, params, count, dtype)
+    if codec == PFOR_BITPACK:
+        return basic.decode_pfor_bitpack(payload, params, count, dtype)
+    if codec == DELTA_PFOR_BITPACK:
+        return basic.decode_delta_pfor_bitpack(payload, params, count, dtype)
     raise ValueError(f"unknown codec {codec!r}")
 
 

@@ -163,13 +163,25 @@ def _select_numeric(values, dtype: str):
         view = arr.view("<u8" if dtype == "<f8" else "<u4")
 
     if is_int:
+        from nem_mms_spark.codecs.basic import _pfor_pick_width
+
         v = arr.astype(np.int64, copy=False)
         w_for = bit_width(int(v.max() - v.min()))
         est[registry.FOR_BITPACK] = (n * w_for + 7) // 8
+        deltas_for = (v - v.min()).astype(np.uint64)
+        wp = _pfor_pick_width(deltas_for)
+        nexc = int((deltas_for > ((np.uint64(1) << np.uint64(wp)) - np.uint64(1))).sum()) if wp < 64 else 0
+        est[registry.PFOR_BITPACK] = (n * wp + 7) // 8 + nexc * 12
         if n > 1:
             d = np.diff(v)
             w_delta = bit_width(int(d.max() - d.min()))
             est[registry.DELTA_FOR_BITPACK] = ((n - 1) * w_delta + 7) // 8
+            dd = (d - d.min()).astype(np.uint64)
+            wdp = _pfor_pick_width(dd)
+            nexc_d = int((dd > ((np.uint64(1) << np.uint64(wdp)) - np.uint64(1))).sum()) if wdp < 64 else 0
+            est[registry.DELTA_PFOR_BITPACK] = (
+                ((n - 1) * wdp + 7) // 8 + nexc_d * 12
+            )
 
     uniq = np.unique(view)
     card = len(uniq)

@@ -58,7 +58,7 @@ INT_CASES = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["PLAIN", "DICT", "RLE", "FOR_BITPACK", "DELTA_FOR_BITPACK"])
+@pytest.mark.parametrize("codec", ["PLAIN", "DICT", "RLE", "FOR_BITPACK", "DELTA_FOR_BITPACK", "PFOR_BITPACK", "DELTA_PFOR_BITPACK"])
 @pytest.mark.parametrize("case", range(len(INT_CASES)))
 def test_int_roundtrip(codec, case):
     arr = INT_CASES[case]
@@ -70,7 +70,7 @@ def test_int_roundtrip(codec, case):
 
 @given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=300))
 @settings(max_examples=40, deadline=None)
-@pytest.mark.parametrize("codec", ["FOR_BITPACK", "DELTA_FOR_BITPACK", "DICT", "RLE"])
+@pytest.mark.parametrize("codec", ["FOR_BITPACK", "DELTA_FOR_BITPACK", "PFOR_BITPACK", "DELTA_PFOR_BITPACK", "DICT", "RLE"])
 def test_int_roundtrip_property(codec, vals):
     arr = np.array(vals, dtype=np.int64)
     payload, params = registry.encode_block(arr, "<i8", codec)

@@ -42,7 +42,10 @@ def test_manifest_selector_outcomes(spark, pages, tmp_path_factory):
         by_col.setdefault(r["column"], []).append(r["codecs"])
     assert any("FSST" in c for c in by_col["url"]), by_col["url"]
     assert any(("DICT" in c) or ("RLE" in c) for c in by_col["lang"])
-    assert any("DELTA_FOR_BITPACK" in c for c in by_col["warc_ts"])
+    assert any(
+        ("DELTA_FOR_BITPACK" in c) or ("DELTA_PFOR_BITPACK" in c)
+        for c in by_col["warc_ts"]
+    )
 
 
 def test_column_subset_decode(spark, pages, tmp_path_factory):
