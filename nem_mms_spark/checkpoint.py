@@ -52,16 +52,6 @@ def filter_pending(df: DataFrame, done: DataFrame | None) -> DataFrame:
     return df.join(F.broadcast(done), "part_id", "left_anti")
 
 
-def write_checkpoint_rows(rows: DataFrame, out_dir: str) -> None:
-    (
-        rows.repartition(1)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("part_id")
-        .parquet(checkpoint_path(out_dir))
-    )
-
-
 def checkpoint_rows_from_manifest(man_rows) -> list[dict]:
     """Derive per-partition lineage rows from collected manifest rows
     (one row per partition-column; tiny)."""

@@ -24,6 +24,13 @@ def pack_uints(values: np.ndarray, width: int) -> bytes:
 
     width == 0 means all values are zero (empty payload); width > 56
     stores raw uint64 words.
+
+    Kernel: word-lane packing.  Values are processed in groups of 64; a
+    group occupies exactly `width` uint64 output words, so each of the 64
+    lane positions has a fixed (word, shift) destination and the whole
+    column packs in 64 vectorized shift/OR passes — no per-bit uint8
+    matrix.  The byte layout is the plain LSB-first bitstream (identical
+    to ``np.packbits(bitorder="little")`` of the value bits).
     """
     n = len(values)
     if n == 0 or width == 0:
@@ -31,10 +38,21 @@ def pack_uints(values: np.ndarray, width: int) -> bytes:
     if width > 56:
         return values.astype("<u8").tobytes()
     v = values.astype(np.uint64, copy=False)
-    # bits matrix (n, width), LSB first, then packbits in little order
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    m = (n + 63) // 64
+    if n != m * 64:
+        v = np.concatenate([v, np.zeros(m * 64 - n, dtype=np.uint64)])
+    lanes = v.reshape(m, 64)
+    words = np.zeros((m, width), dtype="<u8")
+    for i in range(64):
+        bitpos = i * width
+        k, s = bitpos >> 6, bitpos & 63
+        col = lanes[:, i]
+        words[:, k] |= col << np.uint64(s)
+        if s + width > 64:
+            # high bits spill into the next word; (>> 63-s >> 1) is
+            # v >> (64-s) without an undefined 64-bit shift at s == 0.
+            words[:, k + 1] |= (col >> np.uint64(63 - s)) >> np.uint64(1)
+    return words.tobytes()[: (n * width + 7) // 8]
 
 
 def unpack_uints(payload: bytes, width: int, count: int) -> np.ndarray:
@@ -43,13 +61,22 @@ def unpack_uints(payload: bytes, width: int, count: int) -> np.ndarray:
         return np.zeros(count, dtype=np.uint64)
     if width > 56:
         return np.frombuffer(payload, dtype="<u8", count=count).astype(np.uint64)
-    bits = np.unpackbits(
-        np.frombuffer(payload, dtype=np.uint8), bitorder="little"
-    )[: count * width].reshape(count, width)
-    weights = (np.uint64(1) << np.arange(width, dtype=np.uint64))
-    return (bits.astype(np.uint64) * weights[None, :]).sum(
-        axis=1, dtype=np.uint64
-    )
+    m = (count + 63) // 64
+    need = m * width * 8
+    buf = bytes(payload)
+    if len(buf) < need:
+        buf = buf.ljust(need, b"\0")
+    words = np.frombuffer(buf, dtype="<u8", count=m * width).reshape(m, width)
+    out = np.empty((m, 64), dtype=np.uint64)
+    mask = np.uint64((1 << width) - 1)
+    for i in range(64):
+        bitpos = i * width
+        k, s = bitpos >> 6, bitpos & 63
+        val = words[:, k] >> np.uint64(s)
+        if s + width > 64:
+            val = val | (words[:, k + 1] << np.uint64(64 - s))
+        out[:, i] = val & mask
+    return out.reshape(-1)[:count]
 
 
 def zigzag_encode(values: np.ndarray) -> np.ndarray:

@@ -85,6 +85,10 @@ def encode_dataframe(
         # fresh encode = fresh lineage (prevents duplicate part rows when
         # re-encoding an existing output dir from scratch)
         ckpt.clear_checkpoint(out_dir)
+    # dynamic partition overwrite only when resuming: a fresh encode must
+    # truncate the whole blocks/manifest dirs, or partitions absent from
+    # this run would survive and leak stale rows into decode
+    overwrite_mode = "dynamic" if resume else "static"
     done = ckpt.done_parts(spark, out_dir) if resume else None
     n_done = 0
     if done is not None:
@@ -102,7 +106,7 @@ def encode_dataframe(
         blocks.write.mode("overwrite")
         .partitionBy("part_id")
         .option("compression", "none")
-        .option("partitionOverwriteMode", "dynamic")
+        .option("partitionOverwriteMode", overwrite_mode)
         .parquet(os.path.join(out_dir, M.BLOCKS_DIR))
     )
 
@@ -154,7 +158,7 @@ def encode_dataframe(
     man_df = spark.createDataFrame(man_rows, man.schema) if man_rows else man
     (
         man_df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        .option("partitionOverwriteMode", overwrite_mode)
         .partitionBy("part_id")
         .parquet(os.path.join(out_dir, M.MANIFEST_DIR))
     )

@@ -6,6 +6,7 @@ the reference's parser round-trip tests, /root/reference/src/flatfile.rs:648+).
 
 from __future__ import annotations
 
+import operator
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -19,29 +20,43 @@ def verify_roundtrip(
     out_dir: str,
     key: str = "url",
 ) -> dict:
-    """Inner-join decoded rows to source rows on `key`; every column must be
-    null-safe-equal.  Returns counts; raises AssertionError on mismatch."""
+    """Exact multiset equality between source and decoded rows.
+
+    Both sides are grouped by ALL columns with a count, then full-outer
+    null-safe-joined on those columns; any group whose counts differ (or
+    that exists on one side only) is a mismatch.  This is duplicate-safe:
+    repeated key values (common for url-keyed crawl data) cannot inflate
+    the comparison the way a key-equijoin would.  Distributed end to end —
+    one shuffle per side plus the join; no driver materialization.
+    """
     decoded = decode_blocks(spark, out_dir)
     cols = source.columns
-    s = source.alias("s")
-    d = decoded.alias("d")
-    joined = s.join(d, F.col(f"s.{key}") == F.col(f"d.{key}"), "inner")
-    neq = reduce(
-        lambda a, b: a | b,
-        [~F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}")) for c in cols],
+    sg = source.groupBy(*cols).agg(F.count("*").alias("cs")).alias("s")
+    dg = (
+        decoded.select(*cols)
+        .groupBy(*cols)
+        .agg(F.count("*").alias("cd"))
+        .alias("d")
     )
+    cond = reduce(
+        operator.and_,
+        [F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}")) for c in cols],
+    )
+    joined = sg.join(dg, cond, "full_outer")
     agg = joined.agg(
-        F.count("*").alias("joined"),
-        F.sum(F.when(neq, 1).otherwise(0)).alias("mismatched"),
+        F.sum(F.coalesce(F.col("cs"), F.lit(0))).alias("source_rows"),
+        F.sum(F.coalesce(F.col("cd"), F.lit(0))).alias("decoded_rows"),
+        F.sum(
+            F.when(~F.col("cs").eqNullSafe(F.col("cd")), 1).otherwise(0)
+        ).alias("mismatched_groups"),
     ).collect()[0]
-    n_source = source.count()
-    n_decoded = decoded.count()
     result = {
-        "source_rows": n_source,
-        "decoded_rows": n_decoded,
-        "joined_rows": agg["joined"],
-        "mismatched_rows": int(agg["mismatched"] or 0),
+        "source_rows": int(agg["source_rows"] or 0),
+        "decoded_rows": int(agg["decoded_rows"] or 0),
+        "mismatched_groups": int(agg["mismatched_groups"] or 0),
     }
-    assert n_source == n_decoded == agg["joined"], f"row count mismatch: {result}"
-    assert result["mismatched_rows"] == 0, f"value mismatch: {result}"
+    assert result["mismatched_groups"] == 0, f"multiset mismatch: {result}"
+    assert result["source_rows"] == result["decoded_rows"], (
+        f"row count mismatch: {result}"
+    )
     return result

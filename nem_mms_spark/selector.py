@@ -166,15 +166,18 @@ def _select_numeric(values, dtype: str):
         from nem_mms_spark.codecs.basic import _pfor_pick_width
 
         v = arr.astype(np.int64, copy=False)
-        w_for = bit_width(int(v.max() - v.min()))
+        # exact Python-int range: int64 subtraction would overflow for
+        # full-range columns (e.g. 64-bit hashes); the codec itself is
+        # wrap-correct mod 2**64, only this estimate needs the true range
+        w_for = bit_width(int(v.max()) - int(v.min()))
         est[registry.FOR_BITPACK] = (n * w_for + 7) // 8
         deltas_for = (v - v.min()).astype(np.uint64)
         wp = _pfor_pick_width(deltas_for)
         nexc = int((deltas_for > ((np.uint64(1) << np.uint64(wp)) - np.uint64(1))).sum()) if wp < 64 else 0
         est[registry.PFOR_BITPACK] = (n * wp + 7) // 8 + nexc * 12
         if n > 1:
-            d = np.diff(v)
-            w_delta = bit_width(int(d.max() - d.min()))
+            d = np.diff(v)  # wraps mod 2**64 exactly like the delta codec
+            w_delta = bit_width(int(d.max()) - int(d.min()))
             est[registry.DELTA_FOR_BITPACK] = ((n - 1) * w_delta + 7) // 8
             dd = (d - d.min()).astype(np.uint64)
             wdp = _pfor_pick_width(dd)

@@ -28,7 +28,7 @@ def test_encode_decode_bit_identical(spark, pages, tmp_path_factory):
     assert metrics["rows"] == N_ROWS
     assert metrics["ratio"] < 0.6, f"expected real compression, got {metrics}"
     result = verify_roundtrip(spark, pages, out, key="url")
-    assert result["mismatched_rows"] == 0
+    assert result["mismatched_groups"] == 0
     assert result["decoded_rows"] == N_ROWS
 
 
@@ -69,8 +69,16 @@ def test_resume_skips_done_and_completes_partial(spark, pages, tmp_path_factory)
     m1 = encode_dataframe(spark, subset, out, num_parts=6)
     assert m1["rows"] < N_ROWS
 
-    # resume over the FULL input: must skip done partitions, encode the rest
-    m2 = encode_dataframe(spark, pages, out, num_parts=6)
+    # resume over the FULL input — stitched from the done subset plus the
+    # remainder with a real set-op (unionByName, order-insensitive): must
+    # skip done partitions, encode the rest
+    rest = (
+        with_part_id(pages, 6)
+        .filter(~F.col("part_id").isin(half))
+        .drop("part_id")
+    )
+    full = subset.unionByName(rest.select(*subset.columns))
+    m2 = encode_dataframe(spark, full, out, num_parts=6)
     assert m2["skipped_parts"] == len(half)
     assert m2["rows"] == N_ROWS
 
@@ -81,6 +89,32 @@ def test_resume_skips_done_and_completes_partial(spark, pages, tmp_path_factory)
     assert m3["skipped_parts"] == len(all_parts)
     assert m3["rows"] == N_ROWS
     assert m3["encoded_bytes"] == m2["encoded_bytes"]
+
+
+def test_fresh_reencode_truncates_stale_partitions(spark, pages, tmp_path_factory):
+    """resume=False into an existing out_dir must not leak prior-run
+    partitions: a smaller re-encode fully replaces blocks/manifest/
+    checkpoint (static partition overwrite)."""
+    out = str(tmp_path_factory.mktemp("enc_fresh"))
+    encode_dataframe(spark, pages.limit(400), out, num_parts=6)
+    small = pages.limit(100)
+    m = encode_dataframe(spark, small, out, num_parts=2, resume=False)
+    assert m["rows"] == 100 and m["parts"] <= 2, m
+    decoded = decode_blocks(spark, out)
+    assert decoded.count() == 100
+    verify_roundtrip(spark, small, out, key="url")
+
+
+def test_verify_roundtrip_with_duplicate_keys(spark, pages, tmp_path_factory):
+    """Duplicate url values (legit for crawl data) must not break the
+    multiset verify the way a key-equijoin would."""
+    dupes = pages.limit(200)
+    doubled = dupes.unionByName(dupes)
+    out = str(tmp_path_factory.mktemp("enc_dup"))
+    m = encode_dataframe(spark, doubled, out, num_parts=3)
+    assert m["rows"] == 400
+    result = verify_roundtrip(spark, doubled, out, key="url")
+    assert result["source_rows"] == result["decoded_rows"] == 400
 
 
 def test_determinism_across_runs(spark, pages, tmp_path_factory):

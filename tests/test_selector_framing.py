@@ -96,6 +96,21 @@ def test_framing_null_roundtrip(arr):
         assert rebuilt.equals(arr.cast(arr.type)), f"{codec}: {rebuilt} != {arr}"
 
 
+def test_selector_full_range_int64_hashes():
+    """64-bit hash/fingerprint columns whose range exceeds 2**63 must not
+    crash the cost model (int64 subtraction overflow) — the codecs are
+    wrap-correct mod 2**64, the estimate must be too."""
+    rng = np.random.default_rng(7)
+    v = rng.integers(np.iinfo(np.int64).min, np.iinfo(np.int64).max, 4096,
+                     dtype=np.int64)
+    v[0], v[1] = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+    arr = pa.array(v)
+    values, dtype = kernel_of(arr)
+    codec, payload, params, est = select_and_encode(values, dtype)
+    out = registry.decode_block(payload, params, len(v), dtype, codec)
+    assert np.array_equal(np.asarray(out).view(np.int64), v)
+
+
 def test_block_ranges_bounded():
     t = pa.table({"x": pa.array(np.arange(100_000)), "s": pa.array(["y"] * 100_000)})
     ranges = framing.block_ranges(t, block_rows=30_000)
