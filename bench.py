@@ -60,7 +60,7 @@ BENCH_QUERIES = [
     "lang_id_accuracy",
     "ann_topk_cosine",
     "embedding_norms_by_label",
-    "minhash_lsh_candidates",
+    "minhash_lsh_recall",
     "simhash_fingerprints",
     "encode_roundtrip_metrics",
 ]

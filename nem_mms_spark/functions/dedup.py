@@ -14,7 +14,7 @@ path and the pairwise Jaccard is a verification tool for candidate pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from nem_mms_spark.functions.text import tokens_col
 
@@ -64,11 +64,27 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Pairwise n-gram Jaccard via shingle self-join (verification-scale;
-    run on LSH candidates at scale, never the full corpus)."""
+    run on LSH candidates at scale, never the full corpus).
+
+    `max_shingle_df` drops shingles whose document frequency exceeds the
+    cap BEFORE the self-join (standard MinHash practice): one boilerplate
+    shingle shared by 10**6 docs would otherwise contribute 10**12 join
+    rows.  Capped shingles still count toward each doc's shingle-set size,
+    so the Jaccard DENOMINATOR is exact and the estimate is a lower bound
+    dominated by rare (discriminative) shingles.  None = exact (small
+    inputs / LSH-candidate verification only)."""
     sh = shingles_df(documents, k, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if max_shingle_df is not None:
+        dfreq = F.count("*").over(W.partitionBy("shingle"))
+        sh = (
+            sh.withColumn("df", dfreq)
+            .filter(F.col("df") <= max_shingle_df)
+            .drop("df")
+        )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -119,9 +135,15 @@ def lsh_candidate_pairs(
     bands: int = 4,
     k: int = 3,
     id_col: str = "doc_id",
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs.
-    Shuffles on band-bucket key only — the 100 TB-safe near-dup join."""
+    Shuffles on band-bucket key only — the 100 TB-safe near-dup join.
+
+    `max_bucket` drops band buckets larger than the cap before the
+    self-join: a boilerplate-heavy band bucket with B members contributes
+    B*(B-1)/2 pairs, so one mega-bucket can dwarf the rest of the job.
+    Docs in a dropped bucket still pair through their OTHER bands."""
     rows_per_band = n_perm // bands
     sig = minhash_signatures(documents, n_perm, k, id_col)
     band_cols = []
@@ -133,6 +155,12 @@ def lsh_candidate_pairs(
     exploded = sig.select(
         id_col, F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
+    bsize = F.count("*").over(W.partitionBy("band", "bucket"))
+    exploded = exploded.withColumn("bsz", bsize).filter(
+        F.col("bsz") >= 2
+        if max_bucket is None
+        else (F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket)
+    ).drop("bsz")
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -150,25 +178,36 @@ def lsh_candidate_pairs(
     )
 
 
+SIMHASH_BITS = 60
+
+
+def portable_token_hash(col) -> "F.Column":
+    """Engine-portable 60-bit token hash: the first 15 hex digits of md5,
+    parsed as an integer.  Reproducible across Spark / DuckDB / any engine
+    with md5 — which makes SimHash fingerprints comparable across systems
+    (and SQL-oracle-checkable).  60 bits keeps the value positive in int64
+    so no sign-bit gymnastics on either engine."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash_df(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc: sign of per-bit sums of token hashes.
-    Pure JVM aggregation (64 conditional sums)."""
+    """SimHash per doc: sign of per-bit sums of token hashes, SIMHASH_BITS
+    wide.  Pure JVM aggregation (map-side partial sums keep the shuffle at
+    one row per doc)."""
     toks = documents.select(
         id_col, F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", portable_token_hash(F.col("tok")))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums)
     sim = F.lit(0).cast("long")
-    for i in range(64):
-        # bit 63 of an int64 is the sign bit: its set-value is -(2**63)
-        bit_val = (1 << i) if i < 63 else -(1 << 63)
-        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(bit_val)).otherwise(
+    for i in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(
             F.lit(0).cast("long")
         )
     return agg.select(id_col, sim.alias("simhash"))

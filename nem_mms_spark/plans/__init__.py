@@ -32,3 +32,36 @@ def scan_read_schema(df: DataFrame) -> str:
 
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def unaggregated_global_windows(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partition spec whose input is not already
+    aggregated — the 'moving all data to a single partition' scale-killer.
+
+    A global window over an Aggregate output is allowed: that is the second
+    level of a two-level segmented computation (per-bucket partial + tiny
+    boundary stitch), standard recursive-reduction shape.  A global window
+    straight over a scan is flagged.
+    """
+    plan = df._jdf.queryExecution().optimizedPlan()  # noqa: SLF001
+
+    def children(node):
+        seq = node.children()
+        return [seq.apply(i) for i in range(seq.size())]
+
+    def subtree_has_aggregate(node) -> bool:
+        if node.nodeName() == "Aggregate":
+            return True
+        return any(subtree_has_aggregate(c) for c in children(node))
+
+    bad: list[str] = []
+
+    def walk(node):
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            if not any(subtree_has_aggregate(c) for c in children(node)):
+                bad.append(node.toString().splitlines()[0])
+        for c in children(node):
+            walk(c)
+
+    walk(plan)
+    return bad

@@ -4,8 +4,11 @@ names, types and (order-insensitive) values between the Spark DataFrame and
 the oracle result — floats are rounded at the query boundary, timestamps
 are rendered as strings, and every LIMIT has a deterministic tie-break.
 
-Queries marked rows-only (in ROWS_ONLY_QUERIES) have no SQL-expressible
-oracle (engine pipeline runs, LSH bucketing, multimodal stubs).
+Every query has an oracle.  Engine-internal or hash-dependent operators
+are expressed as oracle-checkable contracts: LSH recall against SQL-verified
+Jaccard pairs, SimHash via an engine-portable md5-prefix token hash DuckDB
+can replicate bit-exactly, ANN-LSH via inlined deterministic hyperplanes,
+encode metrics via SQL-reconstructible byte accounting.
 """
 
 from __future__ import annotations
@@ -148,42 +151,86 @@ def lang_dict_stats(spark, sf_dir):
     )
 
 
+_SEG = 4096  # two-level segmented-scan bucket width (rows per segment)
+
+
 def lang_rle_runs(spark, sf_dir):
     """Run-length structure of `lang` in doc_id order — the RLE codec's
-    cost-model statistic as a query."""
-    d = _t(spark, sf_dir, "documents")
-    w = W.orderBy("doc_id")
-    is_start = F.when(
-        F.lag("lang").over(w).isNull() | (F.lag("lang").over(w) != F.col("lang")), 1
-    ).otherwise(0)
-    return (
-        d.select("doc_id", "lang")
-        .withColumn("run_start", is_start)
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("run_start").alias("n_runs"),
+    cost-model statistic as a query.
+
+    Two-level segmented scan, NOT a global window: rows are bucketed by
+    doc_id range, run starts are counted inside each bucket with a
+    PARTITIONED window, and bucket-boundary starts are stitched with a
+    tiny window over the per-bucket summary (one row per _SEG rows — the
+    only single-task step, over already-aggregated data)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    d2 = d.withColumn("bkt", F.floor(F.col("doc_id") / _SEG))
+    w = W.partitionBy("bkt").orderBy("doc_id")
+    prev = F.lag("lang").over(w)
+    interior = (
+        d2.withColumn(
+            "start",
+            F.when(prev.isNotNull() & (prev != F.col("lang")), 1).otherwise(0),
         )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("start").alias("n_interior"))
+    )
+    summary = d2.groupBy("bkt").agg(
+        F.min_by("lang", "doc_id").alias("first_lang"),
+        F.max_by("lang", "doc_id").alias("last_lang"),
+    )
+    ws = W.orderBy("bkt")
+    boundary = (
+        summary.withColumn("prev_last", F.lag("last_lang").over(ws))
+        .withColumn(
+            "start",
+            F.when(
+                F.col("prev_last").isNull()
+                | (F.col("prev_last") != F.col("first_lang")),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy(F.col("first_lang").alias("lang"))
+        .agg(F.sum("start").alias("n_boundary"))
+    )
+    return interior.join(boundary, "lang", "left").select(
+        "lang",
+        "n_docs",
+        (F.col("n_interior") + F.coalesce(F.col("n_boundary"), F.lit(0))).alias(
+            "n_runs"
+        ),
     )
 
 
 def events_ts_delta_stats(spark, sf_dir):
     """Delta distribution of the timestamp column in event_id order — the
-    DELTA+FOR+bitpack codec's width estimator as a query."""
-    ev = _t(spark, sf_dir, "events")
-    w = W.orderBy("event_id")
-    delta = F.unix_micros(F.col("ts").cast("timestamp")) - F.lag(
-        F.unix_micros(F.col("ts").cast("timestamp"))
-    ).over(w)
-    return (
-        ev.select(delta.alias("delta_us"))
-        .filter(F.col("delta_us").isNotNull())
-        .agg(
-            F.count("*").alias("n_deltas"),
-            F.min("delta_us").alias("min_delta_us"),
-            F.max("delta_us").alias("max_delta_us"),
-            F.round(F.avg("delta_us"), 4).alias("avg_delta_us"),
-        )
+    DELTA+FOR+bitpack codec's width estimator as a query.
+
+    Two-level segmented scan: within-bucket deltas via a partitioned
+    window, bucket-boundary deltas stitched from a tiny per-bucket
+    first/last summary, unioned before the final aggregate."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    e2 = ev.withColumn("bkt", F.floor(F.col("event_id") / _SEG))
+    w = W.partitionBy("bkt").orderBy("event_id")
+    within = e2.select(
+        (F.col("us") - F.lag("us").over(w)).alias("delta_us")
+    ).filter(F.col("delta_us").isNotNull())
+    summary = e2.groupBy("bkt").agg(
+        F.min_by("us", "event_id").alias("first_us"),
+        F.max_by("us", "event_id").alias("last_us"),
+    )
+    ws = W.orderBy("bkt")
+    boundary = summary.select(
+        (F.col("first_us") - F.lag("last_us").over(ws)).alias("delta_us")
+    ).filter(F.col("delta_us").isNotNull())
+    return within.unionByName(boundary).agg(
+        F.count("*").alias("n_deltas"),
+        F.min("delta_us").alias("min_delta_us"),
+        F.max("delta_us").alias("max_delta_us"),
+        F.round(F.avg("delta_us"), 4).alias("avg_delta_us"),
     )
 
 
@@ -201,11 +248,24 @@ def for_bitwidth_by_type(spark, sf_dir):
 
 
 def block_framing_stats(spark, sf_dir):
-    """Row-aligned 256-row block framing over documents (P6 analogue)."""
-    d = _t(spark, sf_dir, "documents")
-    w = W.orderBy("doc_id")
+    """Row-aligned 256-row block framing over documents (P6 analogue).
+
+    Global row_number via two-level segmented scan: per-bucket row_number
+    (partitioned window) + broadcast-joined cumulative bucket offsets (the
+    per-bucket count table is tiny; its prefix-sum window runs over
+    aggregated rows only)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d2 = d.withColumn("bkt", F.floor(F.col("doc_id") / _SEG))
+    w = W.partitionBy("bkt").orderBy("doc_id")
+    d3 = d2.withColumn("rn_in", F.row_number().over(w))
+    counts = d2.groupBy("bkt").agg(F.count("*").alias("cnt"))
+    ws = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = counts.select(
+        "bkt", F.coalesce(F.sum("cnt").over(ws), F.lit(0)).alias("base")
+    )
     return (
-        d.withColumn("rn", F.row_number().over(w))
+        d3.join(F.broadcast(offs), "bkt")
+        .withColumn("rn", F.col("base") + F.col("rn_in"))
         .withColumn("block_id", F.floor((F.col("rn") - 1) / 256))
         .groupBy("block_id")
         .agg(
@@ -272,12 +332,25 @@ def embedding_norms_by_label(spark, sf_dir):
     return similarity.avg_norm_by_label(_t(spark, sf_dir, "embeddings"))
 
 
-# ------------------------------------------ rows-only (no SQL oracle)
+# ------------------- formerly rows-only, now oracle-checked end to end
 
 
-def minhash_lsh_candidates(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    return dedup.lsh_candidate_pairs(d, n_perm=16, bands=4, k=1)
+def minhash_lsh_recall(spark, sf_dir):
+    """The LSH recall contract as a query: every true pair with Jaccard
+    >= 0.9 (independently computable in SQL) must appear among the banded
+    LSH candidates — n_missed is 0 iff the contract holds.  Integer-only
+    outputs so the oracle compare is exact."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    true_pairs = dedup.jaccard_pairs(d, k=1, threshold=0.9)
+    cand = dedup.lsh_candidate_pairs(d, n_perm=32, bands=16, k=1)
+    missed = true_pairs.select("doc_a", "doc_b").join(
+        cand, ["doc_a", "doc_b"], "left_anti"
+    )
+    stats = true_pairs.agg(
+        F.count("*").alias("n_true_pairs"),
+        F.sum("n_common").alias("sum_common"),
+    )
+    return stats.crossJoin(missed.agg(F.count("*").alias("n_missed")))
 
 
 def simhash_fingerprints(spark, sf_dir):
@@ -288,14 +361,16 @@ def simhash_fingerprints(spark, sf_dir):
 def ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return similarity.lsh_topk(emb, list(q), k=10, n_planes=6)
+    return similarity.lsh_topk(emb, list(q), k=10, n_planes=6).select("vec_id")
 
 
 def multimodal_image_meta(spark, sf_dir):
     """Fake-image decode plumbing: derive deterministic image blobs from
-    documents, run the Arrow-batched metadata extractor."""
+    documents, run the Arrow-batched metadata extractor.  The extracted
+    metadata is a pure function of (doc_id, n_chars), so a SQL oracle can
+    compute the expected rows directly — checking the whole blob
+    build -> mapInPandas decode path end to end."""
     from nem_mms_spark.functions import multimodal as MM
-    import pandas as pd
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
 
@@ -313,8 +388,12 @@ def multimodal_image_meta(spark, sf_dir):
 
 
 def encode_roundtrip_metrics(spark, sf_dir):
-    """Full engine run on the documents table: encode -> manifest stats.
-    Not SQL-expressible (the engine itself); rows-only check."""
+    """Full engine run on the documents table: encode -> per-column
+    manifest totals.  n_values and raw_bytes are reconstructible in SQL
+    from the source table (raw = data bytes + 8-byte offsets per string
+    value; 8 bytes per int64), so the oracle checks the engine's
+    accounting end to end.  encoded_bytes is covered by bench + the
+    size-vs-parquet gate, not here (no independent SQL derivation)."""
     import tempfile
 
     from nem_mms_spark.jobs.encode import encode_dataframe
@@ -324,11 +403,104 @@ def encode_roundtrip_metrics(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="nem_mms_enc_")
     encode_dataframe(spark, d, out, key_col="doc_id", num_parts=4, resume=False)
     man = read_manifest(spark, out)
-    return man.groupBy("column").agg(
+    return man.groupBy(F.col("column").alias("col_name")).agg(
         F.sum("n_values").alias("n_values"),
         F.sum("raw_bytes").alias("raw_bytes"),
-        F.sum("encoded_bytes").alias("encoded_bytes"),
     )
+
+
+# ------------------------------------------------- oracle SQL builders
+
+
+def _sql_toks(expr: str) -> str:
+    """DuckDB tokenization matching Spark's tokens_col exactly: split on
+    runs of ANY whitespace, drop empty tokens (plain string_split on ' '
+    diverges on tabs/newlines/double spaces)."""
+    return (
+        "list_filter(string_split(regexp_replace("
+        + expr
+        + r", '\s+', ' ', 'g'), ' '), t -> t != '')"
+    )
+
+
+def _jaccard_cte(limit: int = 200) -> str:
+    """Shared word-shingle Jaccard pipeline (k=1) as DuckDB CTEs."""
+    return f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, unnest({_sql_toks('lower(text)')}) AS shingle
+            FROM documents WHERE doc_id < {limit}
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b, n_common,
+                   CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+                       AS raw_j
+            FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                       JOIN sizes sb ON sb.doc_id = doc_b
+        )
+    """
+
+
+def _simhash_sql() -> str:
+    """DuckDB replication of simhash_df: same portable 60-bit md5-prefix
+    token hash (hex-string cast), same sign-sum per bit."""
+    from nem_mms_spark.functions.dedup import SIMHASH_BITS
+
+    bit_sums = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    compose = "\n             + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_sql_toks('lower(text)')}) AS tok
+            FROM documents WHERE doc_id < 500
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(CAST(concat('0x', substring(md5(tok), 1, 15))
+                        AS UBIGINT) AS BIGINT) AS h
+            FROM toks
+        ),
+        bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({compose} AS BIGINT) AS simhash FROM bits
+    """
+
+
+def _ann_lsh_sql(n_planes: int = 6, dim: int = 64, seed: int = 7) -> str:
+    """DuckDB replication of lsh_topk: the hyperplanes are deterministic
+    (seeded), so their exact float64 values are inlined as literals; dot
+    products fold left-to-right in both engines (F.aggregate /
+    list_dot_product), so bucket signs and cosine ordering agree."""
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+    cases = "\n               + ".join(
+        "CASE WHEN list_dot_product(e, ["
+        + ", ".join(repr(float(x)) for x in p)
+        + f"]) > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH b AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        bb AS (SELECT vec_id, e, ({cases}) AS bucket FROM b),
+        q AS (SELECT e AS qe, bucket AS qb FROM bb WHERE vec_id = 0)
+        SELECT vec_id
+        FROM bb, q
+        WHERE bb.bucket = q.qb
+        ORDER BY list_dot_product(e, qe)
+                 / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))
+                 DESC, vec_id
+        LIMIT 10
+    """
 
 
 # ------------------------------------------------------------- registry
@@ -354,7 +526,7 @@ QUERIES = {
     "lang_id_accuracy": lang_id_accuracy,
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_norms_by_label": embedding_norms_by_label,
-    "minhash_lsh_candidates": minhash_lsh_candidates,
+    "minhash_lsh_recall": minhash_lsh_recall,
     "simhash_fingerprints": simhash_fingerprints,
     "ann_lsh_topk": ann_lsh_topk,
     "multimodal_image_meta": multimodal_image_meta,
@@ -482,28 +654,48 @@ ORACLE_SQL = {
                count(*) - count(DISTINCT md5(text)) AS dup_docs
         FROM documents GROUP BY lang
     """,
-    "jaccard_pairs_small": """
-        WITH sh AS (
-            SELECT DISTINCT doc_id,
-                   unnest(string_split(lower(text), ' ')) AS shingle
-            FROM documents WHERE doc_id < 200
-        ),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-        )
-        SELECT doc_a, doc_b, n_common,
-               round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4)
-                   AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    "jaccard_pairs_small": _jaccard_cte(200) + """
+        SELECT doc_a, doc_b, n_common, round(raw_j, 4) AS jaccard
+        FROM pairs WHERE raw_j >= 0.5
+    """,
+    "minhash_lsh_recall": _jaccard_cte(200) + """
+        SELECT count(*) AS n_true_pairs,
+               CAST(sum(n_common) AS BIGINT) AS sum_common,
+               CAST(0 AS BIGINT) AS n_missed
+        FROM pairs WHERE raw_j >= 0.9
+    """,
+    "simhash_fingerprints": _simhash_sql(),
+    "ann_lsh_topk": _ann_lsh_sql(),
+    "multimodal_image_meta": """
+        SELECT doc_id,
+               CAST(8 + n_chars % 16 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS channels,
+               CAST(20 + (8 + n_chars % 16) * 24 AS BIGINT) AS n_bytes,
+               'fake' AS format
+        FROM documents WHERE doc_id < 200
+    """,
+    "encode_roundtrip_metrics": """
+        SELECT 'doc_id' AS col_name, count(*) AS n_values,
+               CAST(8 * count(doc_id) AS BIGINT) AS raw_bytes FROM documents
+        UNION ALL
+        SELECT 'lang', count(*),
+               CAST(sum(strlen(lang)) + 8 * count(lang) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', count(*), CAST(8 * count(n_chars) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'source', count(*),
+               CAST(sum(strlen(source)) + 8 * count(source) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'text', count(*),
+               CAST(sum(strlen(text)) + 8 * count(text) AS BIGINT)
+        FROM documents
     """,
     "doc_fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",
-    "text_quality": """
+    "text_quality": f"""
         SELECT doc_id,
                CAST(n_tokens AS INTEGER) AS n_tokens,
                round(char_total / greatest(n_tokens, 1), 4) AS avg_token_len,
@@ -515,23 +707,24 @@ ORACLE_SQL = {
                            THEN 1.0 ELSE 0.4 END) / 3.0, 4) AS quality
         FROM (
             SELECT doc_id, text,
-                   len(string_split(text, ' ')) AS n_tokens,
-                   CAST(len(list_filter(string_split(lower(text), ' '),
+                   len({_sql_toks('text')}) AS n_tokens,
+                   CAST(len(list_filter({_sql_toks('lower(text)')},
                         t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
                         AS DOUBLE) AS n_stop,
-                   CAST(length(replace(text, ' ', '')) AS DOUBLE) AS char_total,
+                   CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                        AS char_total,
                    CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
                         AS DOUBLE) AS punct
             FROM documents
         )
     """,
-    "token_counts_by_source": """
+    "token_counts_by_source": f"""
         SELECT source, count(*) AS n_docs,
-               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(sum(len({_sql_toks('text')})) AS BIGINT) AS n_tokens,
                CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS n_bpe_tokens
         FROM documents GROUP BY source
     """,
-    "lang_id_accuracy": """
+    "lang_id_accuracy": f"""
         SELECT lang, count(*) AS n_docs,
                CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_match
         FROM (
@@ -545,13 +738,13 @@ ORACLE_SQL = {
                    END AS pred
             FROM (
                 SELECT lang,
-                   len(list_filter(string_split(lower(text), ' '),
+                   len(list_filter({_sql_toks('lower(text)')},
                        t -> t IN ('the','and','of'))) AS h_en,
-                   len(list_filter(string_split(lower(text), ' '),
+                   len(list_filter({_sql_toks('lower(text)')},
                        t -> t IN ('der','die','und'))) AS h_de,
-                   len(list_filter(string_split(lower(text), ' '),
+                   len(list_filter({_sql_toks('lower(text)')},
                        t -> t IN ('le','la','et'))) AS h_fr,
-                   len(list_filter(string_split(lower(text), ' '),
+                   len(list_filter({_sql_toks('lower(text)')},
                        t -> t IN ('el','los','que'))) AS h_es
                 FROM documents
             )

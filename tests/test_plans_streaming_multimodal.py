@@ -38,6 +38,30 @@ def test_dim_join_broadcasts(spark):
     assert plans.has_broadcast_join(q5_nation_revenue(spark, SF))
 
 
+def test_no_global_window_over_raw_data(spark):
+    """The segmented-scan queries must not plan a single-task window over
+    unaggregated rows (scale-killer at 100x); windows over tiny aggregated
+    summaries are the allowed second reduction level."""
+    from nem_mms_spark.queries import (
+        block_framing_stats,
+        events_ts_delta_stats,
+        lang_rle_runs,
+    )
+
+    for q in (lang_rle_runs, events_ts_delta_stats, block_framing_stats):
+        bad = plans.unaggregated_global_windows(q(spark, SF))
+        assert bad == [], f"{q.__name__}: {bad}"
+
+
+def test_global_window_detector_flags_raw_window(spark):
+    from pyspark.sql import Window as W
+
+    df = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "rn", F.row_number().over(W.orderBy("event_id"))
+    )
+    assert plans.unaggregated_global_windows(df), "detector missed a global window"
+
+
 def test_incremental_encode_two_batches(spark, tmp_path):
     from nem_mms_spark.datagen import web_pages_df
     from nem_mms_spark.jobs.decode import decode_blocks

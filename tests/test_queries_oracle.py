@@ -84,5 +84,5 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    cols = {r["column"] for r in rows}
+    cols = {r["col_name"] for r in rows}
     assert {"text", "lang", "doc_id"} <= cols

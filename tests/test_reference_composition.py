@@ -65,4 +65,4 @@ def test_flatfile_through_codec_engine(spark, tmp_path):
     assert metrics["rows"] == 600
     assert metrics["ratio"] < 0.7
     result = verify_roundtrip(spark, keyed, out, key="row_key")
-    assert result["mismatched_rows"] == 0
+    assert result["mismatched_groups"] == 0
