@@ -13,6 +13,8 @@ encode metrics via SQL-reconstructible byte accounting.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from nem_mms_spark.functions import dedup, similarity, text as T
@@ -277,6 +279,35 @@ def block_framing_stats(spark, sf_dir):
     )
 
 
+_FLATFILE_FIXTURE = os.path.abspath(
+    os.path.join(
+        os.path.dirname(__file__), "..", "tests", "fixtures",
+        "scada_fixture.csv",
+    )
+)
+
+
+def flatfile_scada_rollup(spark, sf_dir):
+    """The flat-file parse layer (S1-S3 / P1-P11) as an oracle-checked
+    query: parse the committed MMS fixture (RFC-4180 quoting, C/I/D
+    segmentation, NAME-bound typed projection, EOR checksum) and roll up
+    per unit.  The DuckDB oracle re-parses the SAME file independently via
+    read_csv, so quoting and typing are cross-checked engine-to-engine.
+    sf_dir is unused — this operator's input is a flat file, not the
+    testdata tables."""
+    from nem_mms_spark.sources.flatfile import parse_flatfiles
+
+    df = parse_flatfiles(spark, _FLATFILE_FIXTURE)["DISPATCH_UNIT_SCADA"]
+    return df.groupBy("DUID").agg(
+        F.count("*").alias("n_readings"),
+        F.sum(F.col("SCADAVALUE").isNull().cast("long")).alias("n_null"),
+        F.round(F.sum("SCADAVALUE"), 4).alias("sum_value"),
+        F.date_format(F.max("SETTLEMENTDATE"), "yyyy-MM-dd HH:mm:ss").alias(
+            "max_settlement"
+        ),
+    )
+
+
 # ------------------------------------------------- training-data suite
 
 
@@ -518,6 +549,7 @@ QUERIES = {
     "events_ts_delta_stats": events_ts_delta_stats,
     "for_bitwidth_by_type": for_bitwidth_by_type,
     "block_framing_stats": block_framing_stats,
+    "flatfile_scada_rollup": flatfile_scada_rollup,
     "dedup_exact_stats": dedup_exact_stats,
     "jaccard_pairs_small": jaccard_pairs_small,
     "doc_fingerprints": doc_fingerprints,
@@ -647,6 +679,19 @@ ORACLE_SQL = {
                         AS BIGINT) AS block_id
             FROM documents
         ) GROUP BY block_id
+    """,
+    "flatfile_scada_rollup": f"""
+        SELECT column5 AS DUID,
+               count(*) AS n_readings,
+               CAST(sum(CASE WHEN column6 IS NULL OR column6 = ''
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               round(sum(CAST(nullif(column6, '') AS DOUBLE)), 4) AS sum_value,
+               strftime(max(strptime(column4, '%Y/%m/%d %H:%M:%S')),
+                        '%Y-%m-%d %H:%M:%S') AS max_settlement
+        FROM read_csv('{_FLATFILE_FIXTURE}', header=false,
+                      all_varchar=true, null_padding=true)
+        WHERE column0 = 'D'
+        GROUP BY column5
     """,
     "dedup_exact_stats": """
         SELECT lang, count(*) AS n_docs,

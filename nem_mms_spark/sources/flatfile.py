@@ -20,11 +20,15 @@ Spark restatement (no per-row Python after line extraction):
                ladder (timestamp formats per flatfile.rs:619-640)  [P7/P8]
   validate     nulls in non-nullable fields are fatal (flatfile.rs:163);
                unknown (report_type, report_subtype) pairs are skipped
-               with a warning (mod.rs:201-207)
+               with a warning (mod.rs:201-207); EOR count-of-records is
+               asserted against the actual per-file record count
   route        one parquet dataset per package  [S7/S8]
 
-Dialect note: fields are split on ',' — embedded commas inside quoted
-fields are not supported (none appear in the reference's own test corpus).
+Dialect note: RFC-4180 quoting is supported at the field level — a quoted
+field may contain commas, and doubled quotes inside a quoted field unescape
+to one quote (the reference's csv-crate defaults, main.rs:161-165).
+Embedded NEWLINES inside quoted fields are not supported (line extraction
+splits first); they do not occur in MMS files.
 """
 
 from __future__ import annotations
@@ -88,9 +92,28 @@ def _expand_blob(name: str, blob: bytes):
     # other extensions: skipped (main.rs:187)
 
 
+# split on commas OUTSIDE quoted fields: a comma is a delimiter iff the
+# quotes after it balance to the end of line (RFC-4180, no embedded
+# newlines).  Java regex lookahead, evaluated JVM-side.
+_CSV_SPLIT_RE = ',(?=(?:[^"]*"[^"]*")*[^"]*$)'
+
+
+def _unquote(x):
+    """Strip one layer of surrounding quotes and unescape doubled quotes."""
+    return F.when(
+        x.rlike('^".*"$'),
+        F.regexp_replace(x.substr(F.lit(2), F.length(x) - 2), '""', '"'),
+    ).otherwise(x)
+
+
+def csv_fields(value) -> "F.Column":
+    """RFC-4180 field array for one line (quote-aware split + unquote)."""
+    return F.transform(F.split(value, _CSV_SPLIT_RE), _unquote)
+
+
 def classify_lines(lines: DataFrame) -> DataFrame:
     """P1/P2: record classification + segmentation ids."""
-    df = lines.withColumn("fields", F.split("value", ","))
+    df = lines.withColumn("fields", csv_fields(F.col("value")))
     c0 = F.col("fields")[0]
     df = df.withColumn(
         "rtype",
@@ -138,23 +161,44 @@ def segment_info(classified: DataFrame) -> DataFrame:
     )
 
 
+_BUT_REPORT_IDS = ("BLIND_UPDATE_SUBMISSION", "BLIND_UPDATE_RESPONSE")
+
+
 def comment_records(classified: DataFrame) -> DataFrame:
-    """EMMS / BUT / EOR comment rows, parsed (P3).  EOR carries the
-    row-count checksum (flatfile.rs:475-488)."""
+    """EMMS / BUT / EOR comment rows, fully parsed (P2/P3).
+
+    Routing mirrors the reference (flatfile.rs:333-345): field[1] ==
+    'END OF REPORT' -> EOR; else field[2] in the blind-update ids -> BUT;
+    else EMMS.  Field layout per CommentRecordEMMS (flatfile.rs:388-428:
+    system/report_id/from/to/date/time + payload_info[7..9]) and
+    CommentRecordBUT (flatfile.rs:434-473: + market[10], payload_id[11],
+    payload_response_id[12]).  EOR carries the row-count checksum
+    (flatfile.rs:475-488), enforced by parse_flatfiles."""
     c = classified.filter(F.col("rtype") == "C")
-    is_eor = F.col("fields")[1] == "END OF REPORT"
+    f = F.col("fields")
+    is_eor = f[1] == "END OF REPORT"
+    is_but = f[2].isin(*_BUT_REPORT_IDS)
+    kind = F.when(is_eor, "EOR").when(is_but, "BUT").otherwise("EMMS")
+    not_eor = ~is_eor
     return c.select(
         "file",
         "line_no",
-        F.when(is_eor, "EOR").otherwise("HEADER").alias("kind"),
-        F.when(is_eor, F.col("fields")[2].cast("long")).alias(
-            "count_of_records"
-        ),
-        F.when(~is_eor, F.col("fields")[1]).alias("system"),
-        F.when(~is_eor, F.col("fields")[2]).alias("report_id"),
+        kind.alias("kind"),
+        F.when(is_eor, f[2].cast("long")).alias("count_of_records"),
+        F.when(not_eor, f[1]).alias("system"),
+        F.when(not_eor, f[2]).alias("report_id"),
+        F.when(not_eor, f[3]).alias("from_participant"),
+        F.when(not_eor, f[4]).alias("to_participant"),
         F.when(
-            ~is_eor, F.try_to_timestamp(F.concat_ws(" ", F.col("fields")[5], F.col("fields")[6]), F.lit("yyyy/MM/dd HH:mm:ss"))
+            not_eor,
+            F.try_to_timestamp(
+                F.concat_ws(" ", f[5], f[6]), F.lit("yyyy/MM/dd HH:mm:ss")
+            ),
         ).alias("publish_dt"),
+        F.when(not_eor & ~is_but, F.slice(f, 8, 3)).alias("payload_info"),
+        F.when(is_but, f[10]).alias("market"),
+        F.when(is_but, f[11]).alias("payload_id"),
+        F.when(is_but, f[12]).alias("payload_response_id"),
     )
 
 
@@ -163,8 +207,8 @@ _TS_LADDER_FORMATS = ("yyyy/MM/dd HH:mm:ss", "yyyy/MM/dd HH:mm", "yyyy/MM/dd")
 
 def _cast_cell(raw, spark_type: str):
     """The trial-parse/coercion ladder (P5/P8).  Empty string -> NULL."""
+    # quotes were already stripped at split time (csv_fields)
     v = F.nullif(F.trim(raw), F.lit(""))
-    v = F.regexp_replace(v, '^"(.*)"$', r"$1")  # strip full-field quotes
     if spark_type == "string":
         return v
     if spark_type == "double":
@@ -192,6 +236,25 @@ def parse_flatfiles(
     reference's `parse` entry point, main.rs:92-99)."""
     lines = read_flatfile_lines(spark, path)
     classified = classify_lines(lines)
+
+    # EOR checksum: the trailer's count_of_records must equal the file's
+    # actual record count, EOR row included (the reference's data-integrity
+    # trailer, flatfile.rs:475-488, enforced here)
+    eor = comment_records(classified).filter(F.col("kind") == "EOR")
+    bad_counts = (
+        classified.groupBy("file")
+        .agg(F.count("*").alias("n_records"))
+        .join(eor.select("file", "count_of_records"), "file")
+        .filter(F.col("n_records") != F.col("count_of_records"))
+        .collect()
+    )
+    if bad_counts:
+        r = bad_counts[0]
+        raise ValueError(
+            f"EOR count mismatch in {r['file']}: trailer says "
+            f"{r['count_of_records']} records, file has {r['n_records']}"
+        )
+
     info = segment_info(classified)
 
     data = classified.filter(

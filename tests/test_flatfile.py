@@ -63,9 +63,71 @@ def test_classify_and_comments(spark, scada_path):
     com = comment_records(classified).collect()
     eor = [r for r in com if r["kind"] == "EOR"][0]
     assert eor["count_of_records"] == 6
-    hdr = [r for r in com if r["kind"] == "HEADER"][0]
+    hdr = [r for r in com if r["kind"] == "EMMS"][0]
     assert hdr["system"] == "NEMP.WORLD"
     assert str(hdr["publish_dt"]) == "2021-04-01 04:43:39"
+    # full EMMS surface (reference vector, flatfile.rs:649-667)
+    assert hdr["report_id"] == "BIDMOVE_SUMMARY"
+    assert hdr["from_participant"] == "AEMO"
+    assert hdr["to_participant"] == "PUBLIC"
+    assert hdr["payload_info"] == ["339145123", "BIDMOVE_SUMMARY", "339145118"]
+
+
+def test_but_comment_record(spark, tmp_path):
+    # reference vector, flatfile.rs:670-690
+    f = "\n".join(
+        [
+            "C,PRODUCTION,BLIND_UPDATE_SUBMISSION,PARTICIPANTID,NEMMCO,"
+            "2021/09/03,22:04:05,,,,NEM,123ABC-002,324-BB321",
+            "C,END OF REPORT,2",
+        ]
+    )
+    p = tmp_path / "but.csv"
+    p.write_text(f)
+    com = comment_records(classify_lines(read_flatfile_lines(spark, str(p)))).collect()
+    but = [r for r in com if r["kind"] == "BUT"][0]
+    assert but["system"] == "PRODUCTION"
+    assert but["report_id"] == "BLIND_UPDATE_SUBMISSION"
+    assert but["from_participant"] == "PARTICIPANTID"
+    assert but["to_participant"] == "NEMMCO"
+    assert str(but["publish_dt"]) == "2021-09-03 22:04:05"
+    assert but["market"] == "NEM"
+    assert but["payload_id"] == "123ABC-002"
+    assert but["payload_response_id"] == "324-BB321"
+    assert but["payload_info"] is None
+
+
+def test_quoted_fields_rfc4180(spark, tmp_path):
+    # embedded comma and doubled-quote escape inside quoted fields must
+    # parse like the reference's csv crate (main.rs:161-165)
+    f = "\n".join(
+        [
+            "I,DISPATCH,UNIT_SCADA,1,SETTLEMENTDATE,DUID,SCADAVALUE",
+            'D,DISPATCH,UNIT_SCADA,1,2021/04/01 04:40:00,"UNIT,01",1.5',
+            'D,DISPATCH,UNIT_SCADA,1,2021/04/01 04:45:00,"say ""hi""",2.5',
+        ]
+    )
+    p = tmp_path / "quoted.csv"
+    p.write_text(f)
+    rows = {
+        r["DUID"]: r["SCADAVALUE"]
+        for r in parse_flatfiles(spark, str(p))["DISPATCH_UNIT_SCADA"].collect()
+    }
+    assert rows == {"UNIT,01": 1.5, 'say "hi"': 2.5}
+
+
+def test_eor_count_mismatch_is_fatal(spark, tmp_path):
+    f = "\n".join(
+        [
+            "I,DISPATCH,UNIT_SCADA,1,SETTLEMENTDATE,DUID,SCADAVALUE",
+            "D,DISPATCH,UNIT_SCADA,1,2021/04/01 04:40:00,UNIT01,1.0",
+            "C,END OF REPORT,7",  # file actually has 3 records
+        ]
+    )
+    p = tmp_path / "badcount.csv"
+    p.write_text(f)
+    with pytest.raises(ValueError, match="EOR count mismatch"):
+        parse_flatfiles(spark, str(p))
 
 
 def test_parse_scada_types_and_nulls(spark, scada_path):
