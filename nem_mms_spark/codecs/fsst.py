@@ -38,7 +38,7 @@ class FsstTable:
     gather is linear)."""
 
     __slots__ = ("symbol_bytes", "code1", "slot_val", "slot_msk",
-                 "slot_len", "slot_code", "n_slots")
+                 "slot_len", "slot_code", "slot_cnt", "n_slots")
 
     def __init__(self, symbol_bytes: list[bytes]):
         # symbol_bytes[i] is the symbol for code i+1
@@ -58,7 +58,9 @@ class FsstTable:
         self.slot_msk = np.zeros((k, 65536), dtype=np.uint64)
         self.slot_len = np.zeros((k, 65536), dtype=np.int32)
         self.slot_code = np.zeros((k, 65536), dtype=np.int32)
+        self.slot_cnt = np.zeros(65536, dtype=np.int32)
         for pfx, idxs in groups.items():
+            self.slot_cnt[pfx] = len(idxs)
             for s_i, i in enumerate(idxs):
                 sym = symbol_bytes[i]
                 ln = len(sym)
@@ -178,15 +180,15 @@ def encode(
     table: FsstTable | None = None,
     max_merges: int = DEFAULT_MAX_MERGES,
 ) -> tuple[bytes, dict]:
-    """Greedy longest-match FSST encode, fully vectorized:
+    """Greedy longest-match FSST encode, fully vectorized and LAZY:
 
-      1. pack every 8-byte window into a uint64 (8 shifted adds);
-      2. per symbol length 8..1, exact-match windows against the sorted
-         per-length symbol values (searchsorted — no hashing, no
-         collisions) masking matches that would cross a string boundary;
-      3. walk each string greedily: one frontier step advances EVERY
-         string by one token, so total work is O(total tokens);
-      4. emit 1-byte codes / 2-byte escapes by scatter.
+      1. walk every string's greedy frontier in lock-step — one step
+         advances EVERY live string by one token;
+      2. at each step, longest-match only at the ~n frontier positions
+         (8 byte-gathers build the uint64 window, then the 2-byte-prefix
+         slot tables resolve the match) — total matcher work is
+         O(total tokens x slots), not O(total bytes x slots);
+      3. emit 1-byte codes / 2-byte escapes by scatter.
     """
     n = len(offsets) - 1
     if table is None:
@@ -196,49 +198,63 @@ def encode(
 
     if nb:
         lengths = np.diff(offsets)
+        dpad = np.concatenate([data, np.zeros(MAX_SYMBOL_LEN, dtype=np.uint8)])
 
-        # matcher runs in cache-sized tiles: the uint64 window array and
-        # slot gathers cost ~50B of traffic per input byte if streamed over
-        # the whole chunk; tiling keeps the working set in L2/L3 (this box
-        # anti-scales past a few cores on bandwidth-bound numpy)
-        match_len = np.ones(nb, dtype=np.int32)
-        match_code = table.code1[data].astype(np.int32)
-        str_end = np.repeat(offsets[1:], lengths)  # per byte position
+        # dense window/prefix build is cheap (sequential shifted ORs);
+        # the expensive part — slot matching — runs lazily at frontier
+        # positions only
         if table.n_slots:
-            TILE = 1 << 18
-            buf_tail = np.zeros(MAX_SYMBOL_LEN, dtype=np.uint8)
-            for t0 in range(0, nb, TILE):
-                t1 = min(t0 + TILE, nb)
-                tl = t1 - t0
-                seg = np.empty(tl + MAX_SYMBOL_LEN, dtype=np.uint8)
-                take = min(nb - t0, tl + MAX_SYMBOL_LEN)
-                seg[:take] = data[t0 : t0 + take]
-                if take < len(seg):
-                    seg[take:] = 0
-                b64 = seg.astype(np.uint64)
-                w = np.zeros(tl, dtype=np.uint64)
-                for k in range(MAX_SYMBOL_LEN):
-                    w |= b64[k : k + tl] << np.uint64(8 * k)
-                pfx = seg[:tl].astype(np.uint16)
-                pfx |= seg[1 : tl + 1].astype(np.uint16) << np.uint16(8)
-                room = (str_end[t0:t1] - np.arange(t0, t1)).astype(np.int32)
-                ml = match_len[t0:t1]
-                mc = match_code[t0:t1]
-                for s in range(table.n_slots):
-                    v = table.slot_val[s][pfx]
-                    m = table.slot_msk[s][pfx]
-                    ln = table.slot_len[s][pfx]
-                    better = ((w & m) == v) & (ln > ml) & (ln <= room)
-                    ml[better] = ln[better]
-                    mc[better] = table.slot_code[s][pfx[better]]
+            b64 = dpad.astype(np.uint64)
+            wdense = b64[:nb].copy()
+            for k in range(1, MAX_SYMBOL_LEN):
+                wdense |= b64[k : k + nb] << np.uint64(8 * k)
+            pdense = dpad[:nb].astype(np.uint16) | (
+                dpad[1 : 1 + nb].astype(np.uint16) << np.uint16(8)
+            )
 
-        # greedy frontier walk: token starts
+        match_len = np.ones(nb, dtype=np.int32)
+        match_code = np.zeros(nb, dtype=np.int32)
         visited = np.zeros(nb, dtype=bool)
         frontier = offsets[:-1][lengths > 0].astype(np.int64)
         ends = offsets[1:][lengths > 0].astype(np.int64)
         while len(frontier):
             visited[frontier] = True
-            frontier = frontier + match_len[frontier]
+            ml = np.ones(len(frontier), dtype=np.int32)
+            mc = table.code1[dpad[frontier]].astype(np.int32)
+            if table.n_slots:
+                pfx = pdense[frontier]
+                w = wdense[frontier]
+                room = (ends - frontier).astype(np.int32)
+                sel = None  # positions still worth checking in deeper slots
+                for s in range(table.n_slots):
+                    if s and sel is None:
+                        more = table.slot_cnt[pfx] > s
+                        if not more.any():
+                            break
+                        sel = np.flatnonzero(more)
+                        pfx, w, room = pfx[sel], w[sel], room[sel]
+                    elif s and sel is not None:
+                        more = table.slot_cnt[pfx] > s
+                        if not more.any():
+                            break
+                        sel, pfx, w, room = (
+                            sel[more], pfx[more], w[more], room[more],
+                        )
+                    v = table.slot_val[s][pfx]
+                    m = table.slot_msk[s][pfx]
+                    ln = table.slot_len[s][pfx]
+                    cur_ml = ml if sel is None else ml[sel]
+                    better = ((w & m) == v) & (ln > cur_ml) & (ln <= room)
+                    tgt = (
+                        np.flatnonzero(better)
+                        if sel is None
+                        else sel[better]
+                    )
+                    ml[tgt] = ln[better]
+                    mc[tgt] = table.slot_code[s][pfx[better]]
+            match_len[frontier] = ml
+            match_code[frontier] = mc
+            frontier = frontier + ml
             alive = frontier < ends
             frontier, ends = frontier[alive], ends[alive]
 

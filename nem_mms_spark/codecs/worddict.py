@@ -30,16 +30,23 @@ _SPACE = 32
 
 def tokenize(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Token offsets: every string start/end plus the position after each
-    space byte.  Tokens partition the chunk's bytes exactly."""
+    space byte.  Tokens partition the chunk's bytes exactly.
+
+    Both boundary sources are already sorted, so merge them directly
+    (searchsorted on the small side + one linear np.insert) instead of
+    scattering into an O(total-bytes) boolean mask — the scatter was the
+    kernel's memory-bound hot spot."""
     nb = int(offsets[-1]) if len(offsets) > 1 else 0
     if nb == 0:
         return offsets.astype(np.int64, copy=True)
-    # both boundary sources are sorted; merge via a boolean mask (O(nb))
-    # rather than np.unique (sort-based, random-access-bound on this host)
-    mask = np.zeros(nb + 1, dtype=bool)
-    mask[offsets] = True
-    mask[np.flatnonzero(data[:nb] == _SPACE) + 1] = True
-    return np.flatnonzero(mask).astype(np.int64)
+    spaces = np.flatnonzero(data[:nb] == _SPACE).astype(np.int64)
+    spaces += 1
+    offs = offsets.astype(np.int64, copy=False)
+    merged = np.insert(spaces, np.searchsorted(spaces, offs), offs)
+    keep = np.empty(len(merged), dtype=bool)
+    keep[0] = True
+    np.not_equal(merged[1:], merged[:-1], out=keep[1:])
+    return merged[keep]
 
 
 def factorize_tokens(data: np.ndarray, token_offsets: np.ndarray):

@@ -20,8 +20,10 @@ import numpy as np
 from nem_mms_spark.codecs import fsst as fsst_mod
 from nem_mms_spark.codecs import registry, worddict
 from nem_mms_spark.codecs.basic import _factorize_bytes
-from nem_mms_spark.codecs.primitives import bit_width, run_ends
+from nem_mms_spark.codecs.primitives import bit_width, gather_bytes, run_ends
 
+_CARD_SAMPLE = 2048
+_SKIP_EXACT_RATIO = 0.95
 _FSST_SAMPLE_BYTES = 64 << 10
 # below this, DICT/RLE/PLAIN cover the chunk and the table-train cost
 # cannot amortize — skip the FSST candidate entirely
@@ -66,26 +68,41 @@ def _select_bytes(values, ctx: ColumnContext):
     len_bits = bit_width(max_len)
     plain_est = data_len + (n * len_bits + 7) // 8
 
-    codes, uniq = _factorize_bytes(data, offsets)
-    udata, uoffsets = uniq
-    card = len(uoffsets) - 1
-    code_bits = bit_width(max(card - 1, 0))
-    ulen = int(uoffsets[-1])
-    ulen_bits = bit_width(int(np.diff(uoffsets).max())) if card else 0
-    dict_est = ulen + (card * ulen_bits + 7) // 8 + (n * code_bits + 7) // 8
+    est = {registry.PLAIN: plain_est}
 
-    ends = run_ends(codes)
-    runs = len(ends)
-    starts = np.concatenate([[0], ends[:-1]]).astype(np.int64)
-    run_val_len = int((offsets[starts + 1] - offsets[starts]).sum()) if runs else 0
-    run_len_bits = bit_width(int((ends - starts).max())) if runs else 0
-    rle_est = run_val_len + (runs * (len_bits + run_len_bits) + 7) // 8
+    # cardinality gate: factorizing the WHOLE chunk to cost DICT/RLE is
+    # the dominant expense on near-unique columns (html/url bodies), where
+    # neither codec can win (dict bytes ~ data bytes, runs ~ n).  A
+    # deterministic strided sample decides whether the exact pass pays.
+    codes = uniq = None
+    if n > _CARD_SAMPLE * 4:
+        sel = np.arange(0, n, n // _CARD_SAMPLE, dtype=np.int64)
+        sdata, soffs = gather_bytes(data, offsets, sel)
+        scodes, suniq = _factorize_bytes(sdata, soffs)
+        near_unique = (len(suniq[1]) - 1) >= _SKIP_EXACT_RATIO * len(sel)
+    else:
+        near_unique = False
+    if not near_unique:
+        codes, uniq = _factorize_bytes(data, offsets)
+        udata, uoffsets = uniq
+        card = len(uoffsets) - 1
+        code_bits = bit_width(max(card - 1, 0))
+        ulen = int(uoffsets[-1])
+        ulen_bits = bit_width(int(np.diff(uoffsets).max())) if card else 0
+        est[registry.DICT] = (
+            ulen + (card * ulen_bits + 7) // 8 + (n * code_bits + 7) // 8
+        )
 
-    est = {
-        registry.PLAIN: plain_est,
-        registry.DICT: dict_est,
-        registry.RLE: rle_est,
-    }
+        ends = run_ends(codes)
+        runs = len(ends)
+        starts = np.concatenate([[0], ends[:-1]]).astype(np.int64)
+        run_val_len = (
+            int((offsets[starts + 1] - offsets[starts]).sum()) if runs else 0
+        )
+        run_len_bits = bit_width(int((ends - starts).max())) if runs else 0
+        est[registry.RLE] = (
+            run_val_len + (runs * (len_bits + run_len_bits) + 7) // 8
+        )
 
     # WORD_DICT: exact size via one tokenize+factorize pass (same cost
     # class as the DICT estimate); only sensible for longer strings
