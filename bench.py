@@ -29,15 +29,14 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_ROWS = int(os.environ.get("BENCH_ROWS", "200000"))
-# N vs 4N parallelism (the sandbox stand-in for N vs 4N executors).
-# 2 vs 8: this box's memory bandwidth saturates near 8 concurrent numpy
-# workers and ANTI-scales beyond (measured: 32 procs slower than 8 on
-# bandwidth-bound kernels), so 8->32 measures the hypervisor, not the
-# engine.  Scaling evidence uses the honest region; both configs run the
-# identical job on identical input.
+BENCH_ROWS = int(os.environ.get("BENCH_ROWS", "4000000"))
+# N vs 4N parallelism on the 32-core box (the sandbox stand-in for N vs
+# 4N executors), per the BASELINE.md protocol.  The input is sized so
+# per-task kernel work dominates fixed job overhead (scheduling, python
+# worker spawn, manifest commit) — with too little work per task the
+# ratio measures overhead, not the engine.
 SCALING_MASTERS = tuple(
-    int(x) for x in os.environ.get("BENCH_SCALING", "1,4").split(",")
+    int(x) for x in os.environ.get("BENCH_SCALING", "8,32").split(",")
 )
 
 # queries that exercise distinct operator families; keep the bench list
@@ -109,7 +108,7 @@ def run_encode_scaling(tmp: str) -> dict:
         spark,
         spark.read.parquet(src),
         os.path.join(tmp, "enc_warm"),
-        num_parts=32,
+        num_parts=64,
         resume=False,
     )
     spark.stop()
@@ -129,12 +128,16 @@ def run_encode_scaling(tmp: str) -> dict:
         # virtual disk does not — measure the engine, not the disk
         df = spark.read.parquet(src).cache()
         df.count()
-        out = os.path.join(tmp, f"enc_{cores}")
+        # encoded output goes to tmpfs for the same reason as shuffle: a
+        # real cluster's aggregate write bandwidth scales with node count,
+        # the sandbox's single virtual disk does not
+        out = os.path.join("/dev/shm/nem_mms_bench", f"enc_{cores}")
+        shutil.rmtree(out, ignore_errors=True)
         t0 = time.monotonic()
-        # partitions sized ~10-20 MB raw: big enough to amortize the
-        # per-partition symbol-table training, small enough for smooth
-        # wave scheduling (same sizing logic as a real cluster run)
-        m = encode_dataframe(spark, df, out, num_parts=32, resume=False)
+        # partitions sized ~100 MB raw (amortizes symbol-table training),
+        # 2 waves at the widest config for smooth scheduling (same sizing
+        # logic as a real cluster run)
+        m = encode_dataframe(spark, df, out, num_parts=64, resume=False)
         walls[cores].append(time.monotonic() - t0)
         raw_bytes, rows, ratio = m["raw_bytes"], m["rows"], m["ratio"]
         spark.stop()
@@ -163,7 +166,7 @@ def run_encode_scaling(tmp: str) -> dict:
     lo, hi = SCALING_MASTERS
     eff = (results[lo]["wall_s"] / results[hi]["wall_s"]) / (hi / lo)
 
-    enc_dir = os.path.join(tmp, f"enc_{hi}")
+    enc_dir = os.path.join("/dev/shm/nem_mms_bench", f"enc_{hi}")
     enc_bytes = _du(os.path.join(enc_dir, "blocks")) + _du(
         os.path.join(enc_dir, "manifest")
     )
@@ -279,6 +282,7 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree("/dev/shm/nem_mms_bench", ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -97,9 +97,41 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def _print_package_schemas() -> None:
+    """Reference-parity pretty-print of every package schema (the `info`
+    display, /root/reference/src/packages/mod.rs:132-194).  Fetch
+    operations are marked unsupported by design: this engine's source is
+    a table / flat files, not nemweb HTTP (SURVEY.md section 7)."""
+    from nem_mms_spark.sources.schemas import PACKAGE_SCHEMAS
+
+    for name, schema in sorted(PACKAGE_SCHEMAS.items()):
+        print(f"Package name: {name}")
+        print("Supported operations:")
+        print("    ✓ Parse (flat file -> typed table)")
+        print("    ✗ Fetch Current   (out of scope: source is a table)")
+        print("    ✗ Fetch Archive   (out of scope: source is a table)")
+        print("    ✗ Fetch Historic  (out of scope: source is a table)")
+        print("Schema:")
+        rows = [
+            (f.name, f.dataType.simpleString(),
+             "✓" if f.nullable else "✗")
+            for f in schema.fields
+        ]
+        w0 = max(len("Name"), *(len(r[0]) for r in rows))
+        w1 = max(len("Data type"), *(len(r[1]) for r in rows))
+        print(f"    {'Name':<{w0}} {'Data type':<{w1}} Nullable")
+        print(f"    {'-' * w0} {'-' * w1} --------")
+        for r in rows:
+            print(f"    {r[0]:<{w0}} {r[1]:<{w1}} {r[2]}")
+        print()
+
+
 def cmd_info(args) -> int:
     from nem_mms_spark.codecs import registry
 
+    if args.schemas:
+        _print_package_schemas()
+        return 0
     out = {
         "codecs": {
             "bytes": registry.candidate_codecs("bytes"),
@@ -171,6 +203,10 @@ def main(argv=None) -> int:
 
     i = sub.add_parser("info", help="print codec registry / encoded stats")
     i.add_argument("--encoded", default=None)
+    i.add_argument(
+        "--schemas", action="store_true",
+        help="pretty-print every package schema (reference info parity)",
+    )
     i.set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)

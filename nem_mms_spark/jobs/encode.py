@@ -149,22 +149,43 @@ def encode_dataframe(
             F.max("encode_ns").alias("encode_ns"),
         )
     )
-    # single aggregation job: collect the manifest (tiny — one row per
-    # partition-column) and derive the checkpoint rows driver-side; the
-    # checkpoint commit is a driver-side metadata write (catalog-commit
-    # style), not a Spark job
-    man_rows = man.collect()
-    bmeta.unpersist()
-    man_df = spark.createDataFrame(man_rows, man.schema) if man_rows else man
+    # manifest written fully distributed (never collected: at 100 TB it is
+    # parts x columns rows); the driver pulls only ONE row per partition —
+    # the checkpoint/lineage rows — and commits them with a driver-side
+    # metadata write (catalog-commit style), not a Spark job
+    man = man.cache()
     (
-        man_df.write.mode("overwrite")
+        man.write.mode("overwrite")
         .option("partitionOverwriteMode", overwrite_mode)
         .partitionBy("part_id")
         .parquet(os.path.join(out_dir, M.MANIFEST_DIR))
     )
-    ckpt.commit_checkpoint_rows(
-        ckpt.checkpoint_rows_from_manifest(man_rows), out_dir
+    ck = man.groupBy("part_id").agg(
+        F.max(F.when(F.col("col_idx") == 0, F.col("n_values"))).alias("n_rows"),
+        F.max(F.when(F.col("col_idx") == 0, F.col("n_blocks"))).alias("n_blocks"),
+        F.count("*").alias("n_columns"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("encoded_bytes").alias("encoded_bytes"),
+        F.max("fingerprint").alias("fingerprint"),
+        F.max("encode_ns").alias("encode_ns"),
     )
+    ck_rows = [
+        {
+            "part_id": r["part_id"],
+            "status": "done",
+            "n_rows": r["n_rows"] or 0,
+            "n_blocks": r["n_blocks"] or 0,
+            "n_columns": r["n_columns"],
+            "raw_bytes": r["raw_bytes"],
+            "encoded_bytes": r["encoded_bytes"],
+            "fingerprint": r["fingerprint"],
+            "encode_ns": r["encode_ns"],
+        }
+        for r in ck.collect()
+    ]
+    man.unpersist()
+    bmeta.unpersist()
+    ckpt.commit_checkpoint_rows(ck_rows, out_dir)
 
     if done is not None:
         done.unpersist()

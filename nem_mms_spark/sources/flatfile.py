@@ -111,6 +111,24 @@ def csv_fields(value) -> "F.Column":
     return F.transform(F.split(value, _CSV_SPLIT_RE), _unquote)
 
 
+def underline_field(line: str, idx: int) -> str:
+    """Caret rendering for a bad CSV field (the reference's underlined
+    error display, /root/reference/src/error.rs:119-144): the raw line
+    followed by a '^^^' run under field `idx`."""
+    import re
+
+    spans, pos = [], 0
+    for part in re.split(_CSV_SPLIT_RE, line):
+        spans.append((pos, pos + len(part)))
+        pos += len(part) + 1
+    if idx < len(spans):
+        start, end = spans[idx]
+        underline = " " * start + "^" * max(end - start, 1)
+    else:
+        underline = " " * len(line) + "^^^"
+    return f"\n\n\t{line}\n\t{underline}\n"
+
+
 def classify_lines(lines: DataFrame) -> DataFrame:
     """P1/P2: record classification + segmentation ids."""
     df = lines.withColumn("fields", csv_fields(F.col("value")))
@@ -122,8 +140,9 @@ def classify_lines(lines: DataFrame) -> DataFrame:
     bad = df.filter(F.col("rtype").isNull()).limit(1).collect()
     if bad:
         raise ValueError(
-            f"unrecognized payload at {bad[0]['file']}:{bad[0]['line_no']}: "
-            f"{bad[0]['value'][:80]!r}"
+            f"unrecognized payload at {bad[0]['file']}:{bad[0]['line_no']}:"
+            f"{underline_field(bad[0]['value'], 0)}"
+            'Expected one of ["C", "I", "D"]'
         )
     w = W.partitionBy("file").orderBy("line_no").rowsBetween(
         W.unboundedPreceding, 0

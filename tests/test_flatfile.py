@@ -210,8 +210,21 @@ def test_missing_header_is_fatal(spark, tmp_path):
 def test_unrecognized_record_type_is_fatal(spark, tmp_path):
     p = tmp_path / "bad3.csv"
     p.write_text("X,whatever,1")
-    with pytest.raises(ValueError, match="unrecognized payload"):
+    with pytest.raises(ValueError, match="unrecognized payload") as ei:
         parse_flatfiles(spark, str(p))
+    # caret rendering under the offending field (error.rs:119-144 parity)
+    assert "\n\tX,whatever,1\n\t^" in str(ei.value)
+    assert 'Expected one of ["C", "I", "D"]' in str(ei.value)
+
+
+def test_info_schemas_pretty_print(capsys):
+    from nem_mms_spark.cli import main
+
+    assert main(["info", "--schemas"]) == 0
+    out = capsys.readouterr().out
+    assert "Package name: DISPATCHPRICE" in out
+    assert "SETTLEMENTDATE" in out and "timestamp_ntz" in out
+    assert "✓ Parse" in out and "✗ Fetch Current" in out
 
 
 def test_datetime_minute_format_ladder(spark, tmp_path):
