@@ -26,6 +26,14 @@ import sys
 import tempfile
 import time
 
+# glibc malloc tuning for every python worker (inherited through the JVM,
+# so it must be set before the first SparkSession): large numpy
+# temporaries stay on the reused heap instead of mmap/munmap churn —
+# fresh-page faults under this hypervisor stall erratically (measured:
+# identical alloc-heavy runs vary 100x; warmed-buffer streaming is stable)
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 31))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 31))
+
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -142,11 +150,12 @@ def run_encode_scaling(tmp: str) -> dict:
         raw_bytes, rows, ratio = m["raw_bytes"], m["rows"], m["ratio"]
         spark.stop()
 
-    for _rep in range(2):
+    for _rep in range(3):
         for cores in SCALING_MASTERS:
             timed_run(cores)
-    # adaptive third rep: if the two reps of a config disagree badly the
-    # run window was disturbed — buy one more sample for that config
+    # adaptive extra rep: if the best two reps of a config disagree badly
+    # the run windows were disturbed (hypervisor stalls are one-sided and
+    # can last seconds) — buy one more sample for that config
     for cores in SCALING_MASTERS:
         a, b = sorted(walls[cores])[:2]
         if b > 1.25 * a:
@@ -184,19 +193,24 @@ def run_encode_scaling(tmp: str) -> dict:
 
 def _warm_up(spark, src: str) -> None:
     """Exclude one-time session costs (JIT/codegen compile, Python worker
-    spawn, parquet footer caching) from the steady-state measurement —
-    cluster startup is not encode throughput."""
-    import pyarrow as pa
+    spawn + numpy/pyarrow imports, parquet footer caching) from the
+    steady-state measurement — cluster startup is not encode throughput.
+    The warm pass fans out to EVERY worker slot (a single-task warm would
+    leave cores-1 python workers to spawn inside the timed region,
+    penalizing exactly the wide configs)."""
 
-    def ident(batches):
+    def warm(batches):
+        # force the kernel imports + first numpy allocations per worker
+        import numpy as np
+
+        from nem_mms_spark.selector import ColumnContext, select_and_encode
+
+        select_and_encode(np.arange(4096, dtype=np.int64), "<i8")
         yield from batches
 
-    (
-        spark.read.parquet(src)
-        .limit(512)
-        .mapInArrow(ident, spark.read.parquet(src).schema)
-        .count()
-    )
+    cores = spark.sparkContext.defaultParallelism
+    df = spark.read.parquet(src).limit(50_000)
+    df.repartition(cores * 2).mapInArrow(warm, df.schema).count()
 
 
 def _du(path: str) -> int:

@@ -34,7 +34,10 @@ def decode_blocks(
     out_dir: str,
     columns: list[str] | None = None,
     parts: list[int] | None = None,
+    blocks: DataFrame | None = None,
 ) -> DataFrame:
+    """blocks: optional (part_id, block_id) DataFrame — only those block
+    groups are decoded (zone-map skipping; see scan_blocks)."""
     man = read_manifest(spark, out_dir)
     col_rows = (
         man.select("col_idx", "column", "logical_type").distinct().collect()
@@ -56,6 +59,12 @@ def decode_blocks(
         bdf = bdf.filter(F.col("part_id").isin(parts))
     if columns is not None:
         bdf = bdf.filter(F.col("column").isin(list(columns)))
+    if blocks is not None:
+        bdf = bdf.join(
+            F.broadcast(blocks.select("part_id", "block_id")),
+            ["part_id", "block_id"],
+            "left_semi",
+        )
 
     def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         n = int(pdf["value_count"].iloc[0])
@@ -91,6 +100,98 @@ def decode_blocks(
     return bdf.groupBy("part_id", "block_id").applyInPandas(
         decode_group, schema=out_schema
     )
+
+
+def scan_blocks(
+    spark: SparkSession,
+    out_dir: str,
+    pred_column: str,
+    lo=None,
+    hi=None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Range scan with zone-map data skipping: decode only blocks whose
+    [zmin, zmax] overlaps [lo, hi] on `pred_column`, then apply the exact
+    row filter.
+
+    Two-pass plan, both scale-safe:
+      1. metadata pass — reads ONLY the zone-map columns of the blocks
+         table (payload pruned away by Catalyst) and keeps overlapping
+         (part_id, block_id) rows; the surviving part_ids become a
+         partition-pruning filter on the data pass (the blocks table is
+         directory-partitioned by part_id, so pruned partitions are never
+         read at all);
+      2. data pass — decode_blocks with the survivors broadcast-semi-joined
+         in, then the exact predicate on decoded values.
+
+    NULL zone maps (bytes columns, NaN blocks) never skip.  Timestamp
+    columns use epoch-micros bounds (pass lo/hi as ints or datetimes).
+    """
+    man = read_manifest(spark, out_dir)
+    lt_row = man.filter(F.col("column") == pred_column).select(
+        "logical_type"
+    ).first()
+    if lt_row is None:
+        raise ValueError(f"column {pred_column!r} not in manifest")
+    logical_type = lt_row["logical_type"]
+    is_ts = logical_type.startswith("timestamp")
+    if is_ts:
+        lo = _to_epoch_us(lo)
+        hi = _to_epoch_us(hi)
+
+    meta = (
+        spark.read.parquet(os.path.join(out_dir, M.BLOCKS_DIR))
+        .filter(F.col("column") == pred_column)
+        .select("part_id", "block_id", "zmin_i", "zmax_i", "zmin_d", "zmax_d")
+    )
+    # overlap test in the column's own numeric domain — int bounds compare
+    # against the int64 stats EXACTLY (a double cast would round 64-bit
+    # ranges and could skip a matching block), float bounds against the
+    # double stats
+    import math
+
+    is_float = logical_type in ("float", "double")
+    if is_float:
+        zmin, zmax = F.col("zmin_d"), F.col("zmax_d")
+        lo_b = float(lo) if lo is not None else None
+        hi_b = float(hi) if hi is not None else None
+    else:
+        zmin, zmax = F.col("zmin_i"), F.col("zmax_i")
+        lo_b = int(math.ceil(lo)) if lo is not None else None
+        hi_b = int(math.floor(hi)) if hi is not None else None
+    keep = F.lit(True)
+    if lo_b is not None:
+        keep = keep & (zmax.isNull() | (zmax >= F.lit(lo_b)))
+    if hi_b is not None:
+        keep = keep & (zmin.isNull() | (zmin <= F.lit(hi_b)))
+    survivors = meta.filter(keep).select("part_id", "block_id")
+    # surviving partition ids: one int per partition, bounded by the
+    # pruning itself — drives directory-level partition pruning
+    part_ids = [r["part_id"] for r in survivors.select("part_id").distinct().collect()]
+    if not part_ids:
+        return decode_blocks(spark, out_dir, columns=columns).limit(0)
+
+    decoded = decode_blocks(
+        spark, out_dir, columns=columns, parts=part_ids, blocks=survivors
+    )
+    col = F.col(pred_column)
+    if is_ts:
+        col = F.unix_micros(col.cast("timestamp"))
+    if lo is not None:
+        decoded = decoded.filter(col >= lo)
+    if hi is not None:
+        decoded = decoded.filter(col <= hi)
+    return decoded
+
+
+def _to_epoch_us(v):
+    if v is None or isinstance(v, (int, float)):
+        return v
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return int(v.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+    raise ValueError(f"unsupported timestamp bound {v!r}")
 
 
 def _kernel_dtype_of(logical_type: str) -> str:

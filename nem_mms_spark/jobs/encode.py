@@ -227,7 +227,7 @@ def _make_encoder(source_cols, block_rows, block_bytes, key_col):
         rows = {k: [] for k in (
             "block_id", "col_idx", "column", "logical_type", "codec", "params",
             "payload", "validity", "value_count", "null_count", "raw_bytes",
-            "encoded_bytes",
+            "encoded_bytes", "zmin_i", "zmax_i", "zmin_d", "zmax_d",
         )}
         for block_id, (start, length) in enumerate(ranges):
             for col_idx, name in enumerate(tbl.column_names):
@@ -248,6 +248,11 @@ def _make_encoder(source_cols, block_rows, block_bytes, key_col):
                 rows["null_count"].append(null_count)
                 rows["raw_bytes"].append(raw)
                 rows["encoded_bytes"].append(len(payload))
+                zi_lo, zi_hi, zd_lo, zd_hi = _zone_stats(values, dtype)
+                rows["zmin_i"].append(zi_lo)
+                rows["zmax_i"].append(zi_hi)
+                rows["zmin_d"].append(zd_lo)
+                rows["zmax_d"].append(zd_hi)
         n = len(rows["block_id"])
         encode_ns = time.monotonic_ns() - t0
         yield pa.RecordBatch.from_arrays(
@@ -267,16 +272,41 @@ def _make_encoder(source_cols, block_rows, block_bytes, key_col):
                 pa.array(rows["encoded_bytes"], type=pa.int64()),
                 pa.array([encode_ns] * n, type=pa.int64()),
                 pa.array([fp] * n, type=pa.int64()),
+                pa.array(rows["zmin_i"], type=pa.int64()),
+                pa.array(rows["zmax_i"], type=pa.int64()),
+                pa.array(rows["zmin_d"], type=pa.float64()),
+                pa.array(rows["zmax_d"], type=pa.float64()),
             ],
             names=[
                 "part_id", "block_id", "col_idx", "column", "logical_type",
                 "codec", "params", "payload", "validity", "value_count",
                 "null_count", "raw_bytes", "encoded_bytes", "encode_ns",
-                "fingerprint",
+                "fingerprint", "zmin_i", "zmax_i", "zmin_d", "zmax_d",
             ],
         )
 
     return encode_partition
+
+
+_INT_KIND_DTYPES = {"i1", "<i2", "<i4", "<i8", "u1"}
+
+
+def _zone_stats(values, dtype: str):
+    """Per-block zone map: (zmin_i, zmax_i, zmin_d, zmax_d), NULLs when
+    stats don't apply (bytes columns, empty/all-null blocks, NaNs)."""
+    if dtype == "bytes":
+        return None, None, None, None
+    v = np.asarray(values)
+    if len(v) == 0:
+        return None, None, None, None
+    if dtype in _INT_KIND_DTYPES:
+        return int(v.min()), int(v.max()), None, None
+    if dtype in ("<f4", "<f8"):
+        lo, hi = v.min(), v.max()
+        if np.isnan(lo) or np.isnan(hi):
+            return None, None, None, None
+        return None, None, float(lo), float(hi)
+    return None, None, None, None
 
 
 def _fingerprint(tbl: pa.Table, key_col: str | None) -> int:

@@ -22,11 +22,17 @@ BLOCKS_DIR = "blocks"
 MANIFEST_DIR = "manifest"
 CHECKPOINT_DIR = "checkpoint"
 
+# zmin/zmax are the block's zone map (data-skipping stats): exact int64
+# bounds for integer-kind columns (incl. timestamps as epoch micros) in
+# zmin_i/zmax_i, exact double bounds for float columns in zmin_d/zmax_d;
+# all four NULL when stats don't apply (bytes columns, all-null or
+# NaN-containing blocks) — a NULL zone map means "cannot skip".
 BLOCK_SCHEMA = (
     "part_id int, block_id int, col_idx int, column string, "
     "logical_type string, codec string, params string, payload binary, "
     "validity binary, value_count long, null_count long, raw_bytes long, "
-    "encoded_bytes long, encode_ns long, fingerprint long"
+    "encoded_bytes long, encode_ns long, fingerprint long, "
+    "zmin_i long, zmax_i long, zmin_d double, zmax_d double"
 )
 
 MANIFEST_SCHEMA = (

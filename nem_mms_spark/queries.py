@@ -418,6 +418,30 @@ def multimodal_image_meta(spark, sf_dir):
     return MM.decode_image_meta(imgs)
 
 
+def zonemap_range_scan(spark, sf_dir):
+    """Data skipping end to end: encode documents, range-scan n_chars
+    through the zone maps (metadata pass prunes partitions + blocks, data
+    pass decodes survivors only), aggregate.  The oracle is the same range
+    query straight over the source table — equality proves the skipping
+    never drops or duplicates rows."""
+    import tempfile
+
+    from nem_mms_spark.jobs.encode import encode_dataframe
+    from nem_mms_spark.jobs.decode import scan_blocks
+
+    d = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="nem_mms_zm_")
+    encode_dataframe(spark, d, out, key_col="doc_id", num_parts=4,
+                     sort_cols=["n_chars"], resume=False)
+    scanned = scan_blocks(spark, out, "n_chars", lo=500, hi=900)
+    return scanned.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 def encode_roundtrip_metrics(spark, sf_dir):
     """Full engine run on the documents table: encode -> per-column
     manifest totals.  n_values and raw_bytes are reconstructible in SQL
@@ -562,6 +586,7 @@ QUERIES = {
     "simhash_fingerprints": simhash_fingerprints,
     "ann_lsh_topk": ann_lsh_topk,
     "multimodal_image_meta": multimodal_image_meta,
+    "zonemap_range_scan": zonemap_range_scan,
     "encode_roundtrip_metrics": encode_roundtrip_metrics,
 }
 
@@ -719,6 +744,14 @@ ORACLE_SQL = {
                CAST(20 + (8 + n_chars % 16) * 24 AS BIGINT) AS n_bytes,
                'fake' AS format
         FROM documents WHERE doc_id < 200
+    """,
+    "zonemap_range_scan": """
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM documents
+        WHERE n_chars BETWEEN 500 AND 900
+        GROUP BY lang
     """,
     "encode_roundtrip_metrics": """
         SELECT 'doc_id' AS col_name, count(*) AS n_values,

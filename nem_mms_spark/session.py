@@ -20,6 +20,12 @@ def get_spark(
     arrow_batch_rows: int = 16384,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # glibc malloc tuning inherited by the JVM and every python worker
+    # (must be set before the JVM spawns): keep large numpy temporaries on
+    # the reused heap instead of mmap/munmap churn — fresh-page faults
+    # under virtualization stall erratically and kill kernel scaling
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 31))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 31))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     n_threads = _parallelism_of(master, cpus)
