@@ -73,14 +73,31 @@ def encode_dataframe(
     block_rows: int = framing.DEFAULT_BLOCK_ROWS,
     block_bytes: int = framing.DEFAULT_BLOCK_BYTES,
     resume: bool = True,
+    partitioning: str = "salted",
 ) -> dict:
-    """Run the encode pipeline; returns summary metrics."""
+    """Run the encode pipeline; returns summary metrics.
+
+    partitioning:
+      * "salted"  (default) — partition by salted url-host hash (or key
+        hash): co-locates rows for better symbol tables and handles hot
+        hosts, at the cost of one full shuffle.
+      * "aligned" — partition identity = input split
+        (spark_partition_id): ZERO shuffle, each split encodes in place.
+        The right mode for append-only ingest where the input layout is
+        already acceptable; resume keys on split ids, so it requires a
+        stable input file list across retries (true for static batches).
+    """
     num_parts = num_parts or max(spark.sparkContext.defaultParallelism, 4)
     if sort_cols is None:
         sort_cols = [c for c in ("warc_ts", "ts") if c in df.columns]
 
     source_cols = df.columns
-    work = with_part_id(df, num_parts, key_col, salt_buckets)
+    if partitioning == "aligned":
+        work = df.withColumn("part_id", F.spark_partition_id())
+    elif partitioning == "salted":
+        work = with_part_id(df, num_parts, key_col, salt_buckets)
+    else:
+        raise ValueError(f"unknown partitioning mode {partitioning!r}")
     if not resume:
         # fresh encode = fresh lineage (prevents duplicate part rows when
         # re-encoding an existing output dir from scratch)
@@ -96,9 +113,15 @@ def encode_dataframe(
         n_done = done.count()
         work = ckpt.filter_pending(work, done)
 
-    work = work.repartition(num_parts, "part_id").sortWithinPartitions(
-        "part_id", *sort_cols
-    )
+    if partitioning == "aligned":
+        # splits are already disjoint on part_id — sort in place, no
+        # exchange anywhere in the plan
+        if sort_cols:
+            work = work.sortWithinPartitions(*sort_cols)
+    else:
+        work = work.repartition(num_parts, "part_id").sortWithinPartitions(
+            "part_id", *sort_cols
+        )
 
     encode_fn = _make_encoder(source_cols, block_rows, block_bytes, key_col)
     blocks = work.mapInArrow(encode_fn, M.BLOCK_SCHEMA)

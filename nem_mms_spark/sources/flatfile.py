@@ -129,21 +129,18 @@ def underline_field(line: str, idx: int) -> str:
     return f"\n\n\t{line}\n\t{underline}\n"
 
 
-def classify_lines(lines: DataFrame) -> DataFrame:
-    """P1/P2: record classification + segmentation ids."""
+def classify_lines(lines: DataFrame, check: bool = True) -> DataFrame:
+    """P1/P2: record classification + segmentation ids.  check=False
+    defers the unknown-record validation to the caller (parse_flatfiles
+    runs it against the cached plan instead of rescanning)."""
     df = lines.withColumn("fields", csv_fields(F.col("value")))
     c0 = F.col("fields")[0]
     df = df.withColumn(
         "rtype",
         F.when(c0.isin("C", "I", "D"), c0).otherwise(F.lit(None)),
     )
-    bad = df.filter(F.col("rtype").isNull()).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"unrecognized payload at {bad[0]['file']}:{bad[0]['line_no']}:"
-            f"{underline_field(bad[0]['value'], 0)}"
-            'Expected one of ["C", "I", "D"]'
-        )
+    if check:
+        _check_classified(df)
     w = W.partitionBy("file").orderBy("line_no").rowsBetween(
         W.unboundedPreceding, 0
     )
@@ -164,6 +161,16 @@ def classify_lines(lines: DataFrame) -> DataFrame:
             ).over(w),
         )
     )
+
+
+def _check_classified(df: DataFrame) -> None:
+    bad = df.filter(F.col("rtype").isNull()).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"unrecognized payload at {bad[0]['file']}:{bad[0]['line_no']}:"
+            f"{underline_field(bad[0]['value'], 0)}"
+            'Expected one of ["C", "I", "D"]'
+        )
 
 
 def segment_info(classified: DataFrame) -> DataFrame:
@@ -254,7 +261,10 @@ def parse_flatfiles(
     """Full pipeline: path -> {package_name: typed DataFrame} (the
     reference's `parse` entry point, main.rs:92-99)."""
     lines = read_flatfile_lines(spark, path)
-    classified = classify_lines(lines)
+    # cache once: classification check, EOR checksum, header discovery and
+    # per-package binds all reuse this plan instead of rescanning the input
+    classified = classify_lines(lines, check=False).cache()
+    _check_classified(classified)
 
     # EOR checksum: the trailer's count_of_records must equal the file's
     # actual record count, EOR row included (the reference's data-integrity

@@ -117,6 +117,25 @@ def test_verify_roundtrip_with_duplicate_keys(spark, pages, tmp_path_factory):
     assert result["source_rows"] == result["decoded_rows"] == 400
 
 
+def test_aligned_mode_zero_shuffle_roundtrip(spark, pages, tmp_path_factory):
+    """partitioning='aligned' encodes each input split in place: no
+    exchange anywhere in the plan, still bit-identical round-trip."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("enc_aligned"))
+    m = encode_dataframe(
+        spark, pages, out, partitioning="aligned", resume=False
+    )
+    assert m["rows"] == N_ROWS
+    verify_roundtrip(spark, pages, out, key="url")
+    # the aligned pre-encode plan shape contains no shuffle
+    work = pages.withColumn(
+        "part_id", F.spark_partition_id()
+    ).sortWithinPartitions("warc_ts")
+    plan = work._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "Exchange" not in plan, plan
+
+
 def test_determinism_across_runs(spark, pages, tmp_path_factory):
     """Same input twice -> identical checkpoint fingerprints + byte sizes
     (codec choice is a pure function of partition content)."""
