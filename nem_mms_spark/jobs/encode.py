@@ -133,8 +133,7 @@ def encode_dataframe(
         .parquet(os.path.join(out_dir, M.BLOCKS_DIR))
     )
 
-    # manifest + checkpoint from block METADATA only (payload pruned away);
-    # cached: three derived aggregations share one scan
+    # manifest + checkpoint from block METADATA only (payload pruned away)
     bmeta = spark.read.parquet(os.path.join(out_dir, M.BLOCKS_DIR)).select(
         "part_id", "block_id", "col_idx", "column", "logical_type", "codec",
         "value_count", "null_count", "raw_bytes", "encoded_bytes",
@@ -142,7 +141,6 @@ def encode_dataframe(
     )
     if done is not None and n_done:
         bmeta = bmeta.join(F.broadcast(done), "part_id", "left_anti")
-    bmeta = bmeta.cache()
 
     per_codec = bmeta.groupBy(
         "part_id", "col_idx", "column", "logical_type", "codec"
@@ -172,48 +170,42 @@ def encode_dataframe(
             F.max("encode_ns").alias("encode_ns"),
         )
     )
-    # manifest written fully distributed (never collected: at 100 TB it is
-    # parts x columns rows); the driver pulls only ONE row per partition —
-    # the checkpoint/lineage rows — and commits them with a driver-side
-    # metadata write (catalog-commit style), not a Spark job
-    man = man.cache()
+    # manifest written fully distributed in ONE job (never collected: at
+    # 100 TB it is parts x columns rows); the checkpoint/lineage rows are
+    # then derived driver-side from the freshly written manifest — a tiny
+    # pyarrow read, no further Spark jobs (catalog-commit style)
     (
         man.write.mode("overwrite")
         .option("partitionOverwriteMode", overwrite_mode)
         .partitionBy("part_id")
         .parquet(os.path.join(out_dir, M.MANIFEST_DIR))
     )
-    ck = man.groupBy("part_id").agg(
-        F.max(F.when(F.col("col_idx") == 0, F.col("n_values"))).alias("n_rows"),
-        F.max(F.when(F.col("col_idx") == 0, F.col("n_blocks"))).alias("n_blocks"),
-        F.count("*").alias("n_columns"),
-        F.sum("raw_bytes").alias("raw_bytes"),
-        F.sum("encoded_bytes").alias("encoded_bytes"),
-        F.max("fingerprint").alias("fingerprint"),
-        F.max("encode_ns").alias("encode_ns"),
+    # on resume the manifest dir still holds previously-done partitions
+    # (dynamic overwrite preserves them); exclude those so the checkpoint
+    # commit records only THIS run's partitions
+    done_ids = {r["part_id"] for r in done.collect()} if n_done else None
+    man_rows = _read_manifest_rows(
+        os.path.join(out_dir, M.MANIFEST_DIR), exclude_parts=done_ids
     )
-    ck_rows = [
-        {
-            "part_id": r["part_id"],
-            "status": "done",
-            "n_rows": r["n_rows"] or 0,
-            "n_blocks": r["n_blocks"] or 0,
-            "n_columns": r["n_columns"],
-            "raw_bytes": r["raw_bytes"],
-            "encoded_bytes": r["encoded_bytes"],
-            "fingerprint": r["fingerprint"],
-            "encode_ns": r["encode_ns"],
-        }
-        for r in ck.collect()
-    ]
-    man.unpersist()
-    bmeta.unpersist()
-    ckpt.commit_checkpoint_rows(ck_rows, out_dir)
+    ckpt.commit_checkpoint_rows(
+        ckpt.checkpoint_rows_from_manifest(man_rows), out_dir
+    )
 
     if done is not None:
         done.unpersist()
     totals = ckpt.checkpoint_totals(out_dir)
     return {**totals, "skipped_parts": n_done}
+
+
+def _read_manifest_rows(path: str, exclude_parts: set | None = None) -> list[dict]:
+    """Driver-side read of the (tiny, metadata-only) manifest table."""
+    import pyarrow.dataset as ds
+
+    table = ds.dataset(path, format="parquet", partitioning="hive").to_table()
+    rows = table.to_pylist()
+    if exclude_parts:
+        rows = [r for r in rows if r["part_id"] not in exclude_parts]
+    return rows
 
 
 def _make_encoder(source_cols, block_rows, block_bytes, key_col):
