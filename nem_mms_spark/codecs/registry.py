@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from nem_mms_spark.codecs import basic, fsst, worddict
+from nem_mms_spark.codecs import alp, basic, fsst, worddict
 
 PLAIN = "PLAIN"
 DICT = "DICT"
@@ -29,6 +29,7 @@ PFOR_BITPACK = "PFOR_BITPACK"
 DELTA_PFOR_BITPACK = "DELTA_PFOR_BITPACK"
 FSST = "FSST"
 WORD_DICT = "WORD_DICT"
+ALP = "ALP"
 
 INT_DTYPES = {"<i8", "<i4", "<i2", "i1", "u1"}
 FLOAT_DTYPES = {"<f8", "<f4"}
@@ -40,7 +41,7 @@ _NUMERIC_INT_CANDIDATES = [
     PLAIN, FOR_BITPACK, DELTA_FOR_BITPACK, PFOR_BITPACK,
     DELTA_PFOR_BITPACK, DICT, RLE,
 ]
-_NUMERIC_FLOAT_CANDIDATES = [PLAIN, DICT, RLE]
+_NUMERIC_FLOAT_CANDIDATES = [PLAIN, ALP, DICT, RLE]
 _BYTES_CANDIDATES = [PLAIN, DICT, RLE, WORD_DICT, FSST]
 
 
@@ -70,6 +71,10 @@ def encode_block(values, dtype: str, codec: str, **kw) -> tuple[bytes, dict]:
             return fsst.encode(data, offsets, **kw)
         raise ValueError(f"codec {codec} not applicable to bytes")
     arr = np.asarray(values)
+    if codec == ALP:
+        if dtype != "<f8":
+            raise ValueError("ALP supports float64 only")
+        return alp.encode(arr)
     if dtype in FLOAT_DTYPES and codec in (DICT, RLE):
         # operate on the bit pattern: NaN != NaN breaks value equality but
         # the round-trip contract is bit-identity, not numeric equality
@@ -109,6 +114,8 @@ def decode_block(payload: bytes, params: dict, count: int, dtype: str, codec: st
         if codec == FSST:
             return fsst.decode(payload, params, count)
         raise ValueError(f"codec {codec} not applicable to bytes")
+    if codec == ALP:
+        return alp.decode(payload, params, count)
     bits = None
     if dtype in FLOAT_DTYPES and codec in (DICT, RLE):
         bits, dtype = dtype, ("<u8" if dtype == "<f8" else "<u4")

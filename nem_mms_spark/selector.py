@@ -203,6 +203,20 @@ def _select_numeric(values, dtype: str):
                 ((n - 1) * wdp + 7) // 8 + nexc_d * 12
             )
 
+    if dtype == "<f8" and n >= 16:
+        # ALP estimate from a deterministic sample: decimal-ish doubles
+        # scale to narrow ints, everything else stays a patched exception
+        from nem_mms_spark.codecs import alp as alp_mod
+
+        e, rate = alp_mod.choose_exponent(arr)
+        if rate > 0.5:
+            sample = arr[:: max(1, n // 1024)]
+            ints, ok = alp_mod._ints_for(sample, e)
+            if ok.any():
+                w_est = bit_width(int(ints[ok].max()) - int(ints[ok].min()))
+                nexc_est = int(round((1 - rate) * n))
+                est[registry.ALP] = (n * w_est + 7) // 8 + nexc_est * 10
+
     uniq = np.unique(view)
     card = len(uniq)
     est[registry.DICT] = card * item + (n * bit_width(max(card - 1, 0)) + 7) // 8
