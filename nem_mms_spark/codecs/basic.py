@@ -179,7 +179,7 @@ def encode_for_bitpack(values: np.ndarray) -> tuple[bytes, dict]:
     if len(v) == 0:
         return b"", {"ref": 0, "w": 0}
     ref = int(v.min())
-    deltas = (v - ref).astype(np.uint64)
+    deltas = (v - ref).view(np.uint64)  # wrap-exact reinterpret, no copy
     w = bit_width(int(deltas.max()))
     return pack_uints(deltas, w), {"ref": ref, "w": w}
 
@@ -196,7 +196,7 @@ def encode_delta_for_bitpack(values: np.ndarray) -> tuple[bytes, dict]:
         return b"", {"first": first, "ref": 0, "w": 0}
     d = np.diff(v)
     ref = int(d.min())
-    deltas = (d - ref).astype(np.uint64)
+    deltas = (d - ref).view(np.uint64)
     w = bit_width(int(deltas.max()))
     return pack_uints(deltas, w), {"first": int(v[0]), "ref": ref, "w": w}
 
@@ -230,21 +230,18 @@ def encode_pfor_bitpack(values: np.ndarray) -> tuple[bytes, dict]:
     if len(v) == 0:
         return b"", {"ref": 0, "w": 0, "nexc": 0, "pw": 0, "blen": 0, "plen": 0}
     ref = int(v.min())
-    deltas = (v - ref).astype(np.uint64)
+    deltas = (v - ref).view(np.uint64)  # fresh temp (wrap-exact reinterpret) — safe to mutate below
     w = _pfor_pick_width(deltas)
     limit = np.uint64((1 << w) - 1) if w < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
     exc = np.flatnonzero(deltas > limit)
-    base = deltas.copy()
-    base[exc] = 0
+    exc_vals = deltas[exc].astype("<u8").tobytes()
+    deltas[exc] = 0  # in place: deltas is dead after packing
     pw = bit_width(int(exc.max())) if len(exc) else 0
-    payload = (
-        pack_uints(base, w)
-        + pack_uints(exc.astype(np.uint64), pw)
-        + deltas[exc].astype("<u8").tobytes()
-    )
+    base_p = pack_uints(deltas, w)
+    pos_p = pack_uints(exc.astype(np.uint64), pw)
+    payload = base_p + pos_p + exc_vals
     return payload, {"ref": ref, "w": w, "nexc": int(len(exc)), "pw": pw,
-                     "blen": len(pack_uints(base, w)),
-                     "plen": len(pack_uints(exc.astype(np.uint64), pw))}
+                     "blen": len(base_p), "plen": len(pos_p)}
 
 
 def decode_pfor_bitpack(payload: bytes, params: dict, count: int, dtype: str) -> np.ndarray:

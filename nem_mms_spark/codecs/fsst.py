@@ -138,7 +138,14 @@ def train(
     sym_len = np.ones(256 + max_merges, dtype=np.int64)
     next_id = 256
     min_count = max(4, len(tokens) // 8192)
-    for _ in range(max_merges):
+    # batched re-pair: each counting pass applies the top-B pairs whose
+    # token alphabets are pairwise disjoint.  Disjointness makes the batch
+    # exact — a match of one pair can never overlap or invalidate a match
+    # of another (an overlap would require a shared token) — so one pass
+    # does the work of up to B sequential merge rounds at 1/B the
+    # count+scan memory traffic.
+    batch = 8
+    while next_id < 256 + max_merges:
         if len(tokens) < 2:
             break
         left, right = tokens[:-1], tokens[1:]
@@ -150,18 +157,52 @@ def train(
         k = np.int64(next_id)
         keys = left[valid].astype(np.int64) * k + right[valid]
         counts = np.bincount(keys, minlength=0)
-        best = int(np.argmax(counts))
-        if counts[best] < min_count:
+        nz = np.flatnonzero(counts >= min_count)
+        if len(nz) == 0:
             break
-        a = int(best // k)
-        b = int(best % k)
-        sa = symbols.get(a, bytes([a]) if a < 256 else b"")
-        sb = symbols.get(b, bytes([b]) if b < 256 else b"")
-        symbols[next_id] = sa + sb
-        sym_len[next_id] = len(sa) + len(sb)
-        rules.append((a, b, next_id))
-        tokens = _apply_merge(tokens, a, b, next_id)
-        next_id += 1
+        if len(nz) > 4 * batch:
+            nz = nz[np.argpartition(-counts[nz], 4 * batch)[: 4 * batch]]
+        # deterministic order: count desc, key asc
+        nz = nz[np.lexsort((nz, -counts[nz]))]
+        used: set[int] = set()
+        picked: list[tuple[int, int]] = []
+        for key in nz:
+            a, b = int(key // k), int(key % k)
+            if a in used or b in used:
+                continue
+            used.add(a)
+            used.add(b)
+            picked.append((a, b))
+            if len(picked) >= batch or next_id + len(picked) >= 256 + max_merges:
+                break
+        # match all picked pairs against the SAME token snapshot
+        matches: list[tuple[np.ndarray, int]] = []
+        for a, b in picked:
+            idx = np.flatnonzero((left == a) & (right == b))
+            if a == b and len(idx):
+                # overlapping matches (runs of `a`): greedy keeps every
+                # other match within each run of match positions
+                run_key = idx - np.arange(len(idx))
+                first = np.concatenate([[True], run_key[1:] != run_key[:-1]])
+                starts = np.where(first, idx, np.int64(-1))
+                np.maximum.accumulate(starts, out=starts)
+                idx = idx[((idx - starts) % 2) == 0]
+            if len(idx) == 0:
+                continue
+            sa = symbols.get(a, bytes([a]) if a < 256 else b"")
+            sb = symbols.get(b, bytes([b]) if b < 256 else b"")
+            symbols[next_id] = sa + sb
+            sym_len[next_id] = len(sa) + len(sb)
+            rules.append((a, b, next_id))
+            matches.append((idx, next_id))
+            next_id += 1
+        if not matches:
+            break
+        keep = np.ones(len(tokens), dtype=bool)
+        for idx, nid in matches:
+            tokens[idx] = nid
+            keep[idx + 1] = False
+        tokens = tokens[keep]
 
     # assign the 255 output codes by estimated gain on the trained sample
     ids, counts = np.unique(tokens[tokens >= 0], return_counts=True)
@@ -200,18 +241,6 @@ def encode(
         lengths = np.diff(offsets)
         dpad = np.concatenate([data, np.zeros(MAX_SYMBOL_LEN, dtype=np.uint8)])
 
-        # dense window/prefix build is cheap (sequential shifted ORs);
-        # the expensive part — slot matching — runs lazily at frontier
-        # positions only
-        if table.n_slots:
-            b64 = dpad.astype(np.uint64)
-            wdense = b64[:nb].copy()
-            for k in range(1, MAX_SYMBOL_LEN):
-                wdense |= b64[k : k + nb] << np.uint64(8 * k)
-            pdense = dpad[:nb].astype(np.uint16) | (
-                dpad[1 : 1 + nb].astype(np.uint16) << np.uint16(8)
-            )
-
         match_len = np.ones(nb, dtype=np.int32)
         match_code = np.zeros(nb, dtype=np.int32)
         visited = np.zeros(nb, dtype=bool)
@@ -222,8 +251,17 @@ def encode(
             ml = np.ones(len(frontier), dtype=np.int32)
             mc = table.code1[dpad[frontier]].astype(np.int32)
             if table.n_slots:
-                pfx = pdense[frontier]
-                w = wdense[frontier]
+                # windows/prefixes gathered lazily at the ~n frontier
+                # positions only: a dense precompute would stream 8x the
+                # chunk bytes through uint64 temporaries — O(bytes)
+                # memory traffic for O(tokens) useful values
+                fb = dpad[frontier].astype(np.uint16)
+                pfx = fb | (dpad[frontier + 1].astype(np.uint16) << np.uint16(8))
+                w = fb.astype(np.uint64) | (
+                    pfx.astype(np.uint64) & np.uint64(0xFF00)
+                )
+                for k in range(2, MAX_SYMBOL_LEN):
+                    w |= dpad[frontier + k].astype(np.uint64) << np.uint64(8 * k)
                 room = (ends - frontier).astype(np.int32)
                 sel = None  # positions still worth checking in deeper slots
                 for s in range(table.n_slots):

@@ -10,6 +10,7 @@ from __future__ import annotations
 import numpy as np
 
 _RAW_WIDTH = 64  # sentinel: store as raw int64/uint64 words
+_PACK_ROWS_PER_CHUNK = 1024  # 1024 rows x 64 lanes x 8 B = 512 KB per chunk
 
 
 def bit_width(max_value: int) -> int:
@@ -43,15 +44,21 @@ def pack_uints(values: np.ndarray, width: int) -> bytes:
         v = np.concatenate([v, np.zeros(m * 64 - n, dtype=np.uint64)])
     lanes = v.reshape(m, 64)
     words = np.zeros((m, width), dtype="<u8")
-    for i in range(64):
-        bitpos = i * width
-        k, s = bitpos >> 6, bitpos & 63
-        col = lanes[:, i]
-        words[:, k] |= col << np.uint64(s)
-        if s + width > 64:
-            # high bits spill into the next word; (>> 63-s >> 1) is
-            # v >> (64-s) without an undefined 64-bit shift at s == 0.
-            words[:, k + 1] |= (col >> np.uint64(63 - s)) >> np.uint64(1)
+    # cache-blocked: the 64 lane passes re-stream the input, so work in
+    # row chunks small enough (64K values = 512 KB) that the chunk stays
+    # in L2 across all 64 passes instead of hitting DRAM each pass
+    for r0 in range(0, m, _PACK_ROWS_PER_CHUNK):
+        lb = lanes[r0 : r0 + _PACK_ROWS_PER_CHUNK]
+        wb = words[r0 : r0 + _PACK_ROWS_PER_CHUNK]
+        for i in range(64):
+            bitpos = i * width
+            k, s = bitpos >> 6, bitpos & 63
+            col = lb[:, i]
+            wb[:, k] |= col << np.uint64(s)
+            if s + width > 64:
+                # high bits spill into the next word; (>> 63-s >> 1) is
+                # v >> (64-s) without an undefined 64-bit shift at s == 0.
+                wb[:, k + 1] |= (col >> np.uint64(63 - s)) >> np.uint64(1)
     return words.tobytes()[: (n * width + 7) // 8]
 
 
@@ -69,13 +76,17 @@ def unpack_uints(payload: bytes, width: int, count: int) -> np.ndarray:
     words = np.frombuffer(buf, dtype="<u8", count=m * width).reshape(m, width)
     out = np.empty((m, 64), dtype=np.uint64)
     mask = np.uint64((1 << width) - 1)
-    for i in range(64):
-        bitpos = i * width
-        k, s = bitpos >> 6, bitpos & 63
-        val = words[:, k] >> np.uint64(s)
-        if s + width > 64:
-            val = val | (words[:, k + 1] << np.uint64(64 - s))
-        out[:, i] = val & mask
+    # cache-blocked for the same reason as pack_uints
+    for r0 in range(0, m, _PACK_ROWS_PER_CHUNK):
+        wb = words[r0 : r0 + _PACK_ROWS_PER_CHUNK]
+        ob = out[r0 : r0 + _PACK_ROWS_PER_CHUNK]
+        for i in range(64):
+            bitpos = i * width
+            k, s = bitpos >> 6, bitpos & 63
+            val = wb[:, k] >> np.uint64(s)
+            if s + width > 64:
+                val = val | (wb[:, k + 1] << np.uint64(64 - s))
+            ob[:, i] = val & mask
     return out.reshape(-1)[:count]
 
 

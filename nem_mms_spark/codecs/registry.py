@@ -41,7 +41,11 @@ _NUMERIC_INT_CANDIDATES = [
     PLAIN, FOR_BITPACK, DELTA_FOR_BITPACK, PFOR_BITPACK,
     DELTA_PFOR_BITPACK, DICT, RLE,
 ]
-_NUMERIC_FLOAT_CANDIDATES = [PLAIN, ALP, DICT, RLE]
+# ALP operates on float64 only (f4 values rarely scale to narrow ints
+# losslessly and the codec does not implement the f4 path) — candidates
+# are dtype-exact so callers can trial-encode every listed codec
+_NUMERIC_F8_CANDIDATES = [PLAIN, ALP, DICT, RLE]
+_NUMERIC_F4_CANDIDATES = [PLAIN, DICT, RLE]
 _BYTES_CANDIDATES = [PLAIN, DICT, RLE, WORD_DICT, FSST]
 
 
@@ -50,8 +54,10 @@ def candidate_codecs(dtype: str) -> list[str]:
         return list(_BYTES_CANDIDATES)
     if dtype in INT_DTYPES:
         return list(_NUMERIC_INT_CANDIDATES)
-    if dtype in FLOAT_DTYPES:
-        return list(_NUMERIC_FLOAT_CANDIDATES)
+    if dtype == "<f8":
+        return list(_NUMERIC_F8_CANDIDATES)
+    if dtype == "<f4":
+        return list(_NUMERIC_F4_CANDIDATES)
     raise ValueError(f"unsupported dtype {dtype!r}")
 
 

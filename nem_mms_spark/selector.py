@@ -52,6 +52,42 @@ def select_and_encode(values, dtype: str, ctx: ColumnContext | None = None):
     return _select_numeric(values, dtype)
 
 
+def _fsst_ratio_sample(
+    data: np.ndarray,
+    offsets: np.ndarray,
+    max_rows: int = 256,
+    cap: int = 256,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic strided row sample with per-row byte cap (FSST ratio
+    is local, so truncated rows estimate it as well as whole rows)."""
+    n = len(offsets) - 1
+    sel = np.arange(0, n, max(1, n // max_rows), dtype=np.int64)[:max_rows]
+    starts = offsets[sel]
+    lens = np.minimum(offsets[sel + 1] - starts, cap)
+    out_offs = np.zeros(len(sel) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_offs[1:])
+    total = int(out_offs[-1])
+    row = np.repeat(np.arange(len(sel)), lens)
+    pos = np.arange(total) - np.repeat(out_offs[:-1], lens)
+    return data[starts[row] + pos], out_offs
+
+
+def _sample_distinct(data: np.ndarray, offsets: np.ndarray, sel: np.ndarray) -> int:
+    """Distinct count of the sampled strings via (length, 8 spread probe
+    bytes) hashing — no string materialization."""
+    starts = offsets[sel]
+    lens = (offsets[sel + 1] - starts).astype(np.uint64)
+    h = lens * np.uint64(0x9E3779B97F4A7C15)
+    nz = lens > 0
+    for k in range(8):
+        pos = starts + ((lens.view(np.int64) * k) >> 3)
+        b = np.zeros(len(sel), dtype=np.uint64)
+        b[nz] = data[pos[nz]]
+        h = (h ^ (b + np.uint64(k + 1))) * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(29)
+    return len(np.unique(h))
+
+
 # ------------------------------------------------------------------ bytes
 
 
@@ -76,10 +112,16 @@ def _select_bytes(values, ctx: ColumnContext):
     # deterministic strided sample decides whether the exact pass pays.
     codes = uniq = None
     if n > _CARD_SAMPLE * 4:
+        # distinct-count the sample via a probe-byte hash instead of
+        # materializing + factorizing the sampled strings (the gather was
+        # itself a measurable memory cost on 2 KB html rows): length + 8
+        # bytes probed at spread positions.  Collisions only UNDERestimate
+        # cardinality, which routes to the exact pass — never wrong, just
+        # slower.
         sel = np.arange(0, n, n // _CARD_SAMPLE, dtype=np.int64)
-        sdata, soffs = gather_bytes(data, offsets, sel)
-        scodes, suniq = _factorize_bytes(sdata, soffs)
-        near_unique = (len(suniq[1]) - 1) >= _SKIP_EXACT_RATIO * len(sel)
+        near_unique = _sample_distinct(data, offsets, sel) >= (
+            _SKIP_EXACT_RATIO * len(sel)
+        )
     else:
         near_unique = False
     if not near_unique:
@@ -130,14 +172,14 @@ def _select_bytes(values, ctx: ColumnContext):
                 ctx.fsst_failed = True
         if not ctx.fsst_failed:
             if ctx.fsst_ratio is None:
-                # contract: offsets[0] == 0 (framing normalizes offsets)
-                cut = int(np.searchsorted(offsets, _FSST_SAMPLE_BYTES))
-                cut = min(max(cut, 1), n)
-                sp, _ = fsst_mod.encode(
-                    data[: offsets[cut]], offsets[: cut + 1],
-                    table=ctx.fsst_table,
-                )
-                ctx.fsst_ratio = len(sp) / max(int(offsets[cut]), 1)
+                # ratio sample: strided rows capped at 256 bytes each.  A
+                # plain 64 KB prefix of a long-string column is ~30 rows,
+                # and the frontier encoder degenerates to hundreds of
+                # near-scalar steps; capped strided rows give the same
+                # byte budget with a wide frontier (and better coverage)
+                sdata, soffs = _fsst_ratio_sample(data, offsets)
+                sp, _ = fsst_mod.encode(sdata, soffs, table=ctx.fsst_table)
+                ctx.fsst_ratio = len(sp) / max(int(soffs[-1]), 1)
             est[registry.FSST] = (
                 int(ctx.fsst_ratio * data_len) + (n * len_bits + 7) // 8
             )
@@ -188,7 +230,7 @@ def _select_numeric(values, dtype: str):
         # wrap-correct mod 2**64, only this estimate needs the true range
         w_for = bit_width(int(v.max()) - int(v.min()))
         est[registry.FOR_BITPACK] = (n * w_for + 7) // 8
-        deltas_for = (v - v.min()).astype(np.uint64)
+        deltas_for = (v - v.min()).view(np.uint64)
         wp = _pfor_pick_width(deltas_for)
         nexc = int((deltas_for > ((np.uint64(1) << np.uint64(wp)) - np.uint64(1))).sum()) if wp < 64 else 0
         est[registry.PFOR_BITPACK] = (n * wp + 7) // 8 + nexc * 12
@@ -196,7 +238,7 @@ def _select_numeric(values, dtype: str):
             d = np.diff(v)  # wraps mod 2**64 exactly like the delta codec
             w_delta = bit_width(int(d.max()) - int(d.min()))
             est[registry.DELTA_FOR_BITPACK] = ((n - 1) * w_delta + 7) // 8
-            dd = (d - d.min()).astype(np.uint64)
+            dd = (d - d.min()).view(np.uint64)
             wdp = _pfor_pick_width(dd)
             nexc_d = int((dd > ((np.uint64(1) << np.uint64(wdp)) - np.uint64(1))).sum()) if wdp < 64 else 0
             est[registry.DELTA_PFOR_BITPACK] = (
@@ -217,15 +259,35 @@ def _select_numeric(values, dtype: str):
                 nexc_est = int(round((1 - rate) * n))
                 est[registry.ALP] = (n * w_est + 7) // 8 + nexc_est * 10
 
-    uniq = np.unique(view)
-    card = len(uniq)
-    est[registry.DICT] = card * item + (n * bit_width(max(card - 1, 0)) + 7) // 8
+    # cardinality gate (mirror of the bytes-path gate above): the exact
+    # np.unique sort + run scan are the dominant cost on near-unique
+    # numeric columns (ids, 64-bit hashes) where DICT/RLE can never win —
+    # a deterministic strided sample decides whether the exact pass pays
+    if n > _CARD_SAMPLE * 4:
+        # two cheap screens, both must clear to skip the exact pass:
+        #  * strided-sample distinct ratio — catches moderate cardinality
+        #    (sampling without replacement: duplicate sample values appear
+        #    iff true duplicates exist, ~s^2/2c birthday pairs)
+        #  * full-resolution adjacent-duplicate fraction (one O(n) compare,
+        #    no sort) — catches short sorted runs the stride jumps over
+        sample = view[:: n // _CARD_SAMPLE]
+        su = len(np.unique(sample))
+        adj_dups = int(np.count_nonzero(view[1:] == view[:-1]))
+        near_unique = (
+            su >= _SKIP_EXACT_RATIO * len(sample) and adj_dups <= n // 50
+        )
+    else:
+        near_unique = False
+    if not near_unique:
+        uniq = np.unique(view)
+        card = len(uniq)
+        est[registry.DICT] = card * item + (n * bit_width(max(card - 1, 0)) + 7) // 8
 
-    ends = run_ends(view)
-    runs = len(ends)
-    starts = np.concatenate([[0], ends[:-1]])
-    run_len_bits = bit_width(int((ends - starts).max())) if runs else 0
-    est[registry.RLE] = runs * item + (runs * run_len_bits + 7) // 8
+        ends = run_ends(view)
+        runs = len(ends)
+        starts = np.concatenate([[0], ends[:-1]])
+        run_len_bits = bit_width(int((ends - starts).max())) if runs else 0
+        est[registry.RLE] = runs * item + (runs * run_len_bits + 7) // 8
 
     winner = _argmin(est, registry.candidate_codecs(dtype))
     payload, params = registry.encode_block(arr, dtype, winner)
