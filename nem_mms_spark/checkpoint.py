@@ -106,6 +106,41 @@ def commit_checkpoint_rows(rows: list[dict], out_dir: str) -> None:
     os.replace(tmp, os.path.join(path, f"run-{digest}.parquet"))
 
 
+def _partitioning_meta_path(out_dir: str) -> str:
+    return os.path.join(checkpoint_path(out_dir), "_partitioning.json")
+
+
+def check_partitioning_meta(out_dir: str, meta: dict, *, resume: bool) -> None:
+    """Record the partitioning mode + parameters alongside the checkpoint
+    and refuse to resume under different ones: part-id assignment is a
+    function of (mode, num_parts, key_col, salt_buckets), so resuming
+    with a different assignment would anti-join fresh part ids against
+    stale done ids — silently skipping partitions and dropping data."""
+    import json
+
+    path = _partitioning_meta_path(out_dir)
+    if resume and os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+        if existing != meta:
+            diffs = {
+                k: (existing.get(k), meta.get(k))
+                for k in sorted(set(existing) | set(meta))
+                if existing.get(k) != meta.get(k)
+            }
+            raise ValueError(
+                "cannot resume: partitioning parameters changed since the "
+                f"checkpoint was written (stored vs requested: {diffs}); "
+                "re-encode with resume=False or restore the original "
+                "parameters"
+            )
+    os.makedirs(checkpoint_path(out_dir), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.replace(tmp, path)
+
+
 def checkpoint_totals(out_dir: str) -> dict:
     """Aggregate lineage totals, driver-side (the table is tiny)."""
     import pyarrow.dataset as ds

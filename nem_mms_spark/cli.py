@@ -46,6 +46,7 @@ def cmd_encode(args) -> int:
         key_col=args.key,
         salt_buckets=args.salt_buckets,
         resume=not args.no_resume,
+        partitioning=args.partitioning,
     )
     print(json.dumps(metrics))
     return 0
@@ -176,6 +177,13 @@ def main(argv=None) -> int:
     e.add_argument("--key", default=None)
     e.add_argument("--salt-buckets", type=int, default=4)
     e.add_argument("--no-resume", action="store_true")
+    e.add_argument(
+        "--partitioning",
+        default="salted",
+        choices=("salted", "salted_full", "aligned"),
+        help="salted = hybrid hot-key-only shuffle (default); "
+        "salted_full = legacy full shuffle; aligned = zero-shuffle in-place",
+    )
     e.set_defaults(fn=cmd_encode)
 
     d = sub.add_parser("decode", help="decode blocks back to parquet")

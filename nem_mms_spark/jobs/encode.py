@@ -61,6 +61,98 @@ def with_part_id(
     return df.withColumn("part_id", part.cast("int"))
 
 
+def _key_expr(key_col: str):
+    """Partitioning key: url-host prefix for url tables, else the column."""
+    if key_col == "url":
+        return F.expr("parse_url(url, 'HOST')")
+    return F.col(key_col)
+
+
+def _split_hot(
+    spark: SparkSession,
+    df: DataFrame,
+    num_parts: int,
+    key_col: str,
+    hot_factor: float = 0.5,
+    min_hot_rows: int = 4096,
+):
+    """Hybrid skew plan: shuffle ONLY the rows whose key is hot.
+
+    One aggregation job measures key frequencies (map-side combine shrinks
+    it to the distinct-key count); keys holding more than
+    ``hot_factor * total / num_parts`` rows — the ones that would overflow
+    a partition — go to the shuffled path, everything else encodes in
+    place with zero shuffle (the aligned path).  By pigeonhole the hot set
+    has at most ``num_parts / hot_factor`` keys, so the plan table always
+    broadcasts.
+
+    Each hot key gets a right-sized CONTIGUOUS range of part ids
+    (``buckets = ceil(count / target)`` salt buckets starting at a
+    per-key base), so no hot partition is oversized and same-key rows
+    stay grouped per salt bucket for symbol-table locality (north_rule:
+    salted repartitioning on url-host prefix).  Rows are dispersed across
+    their key's buckets by a whole-row content hash — deterministic under
+    retries, unlike rand().
+
+    Returns (cold_with_part_id, hot_with_part_id | None, hot_parts).
+    Cold part ids are the input split ids; hot part ids live in
+    ``[n_input, n_input + hot_parts)``.
+    """
+    kexpr = _key_expr(key_col)
+    counts = df.groupBy(kexpr.alias("_k")).count().cache()
+    total = counts.agg(F.sum("count")).collect()[0][0] or 0
+    target = max(1, total // max(num_parts, 1))
+    # min_hot_rows floor: when partitions are tiny (small tables), "skew"
+    # cannot hurt and per-key bucket math degenerates — stay aligned
+    thresh = max(min_hot_rows, int(hot_factor * target))
+    hot_rows = (
+        counts.filter((F.col("count") > thresh) & F.col("_k").isNotNull())
+        .collect()
+    )
+    counts.unpersist()
+    n_input = df.rdd.getNumPartitions()
+    if not hot_rows:
+        return df.withColumn("part_id", F.spark_partition_id()), None, 0
+
+    # deterministic order: biggest first, key as tiebreak
+    hot_rows.sort(key=lambda r: (-r["count"], str(r["_k"])))
+    base = 0
+    plan = []
+    for r in hot_rows:
+        # right-sized: enough salt buckets that no bucket exceeds the
+        # partition target (a key that fits a partition gets 1 bucket =
+        # pure co-location; a monster key gets as many as it needs)
+        buckets = max(-(-r["count"] // target), 1)
+        plan.append((r["_k"], base, buckets))
+        base += buckets
+    hot_parts = base
+    key_type = df.select(kexpr.alias("_k")).schema[0].dataType
+    plan_df = spark.createDataFrame(
+        plan, schema=f"_k {key_type.simpleString()}, _base int, _buckets int"
+    )
+
+    marked = df.join(
+        F.broadcast(plan_df), on=kexpr.eqNullSafe(F.col("_k")), how="left"
+    )
+    cold = (
+        marked.filter(F.col("_base").isNull())
+        .drop("_k", "_base", "_buckets")
+        .withColumn("part_id", F.spark_partition_id())
+    )
+    row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
+    part = (
+        F.lit(n_input)
+        + F.col("_base")
+        + F.pmod(row_hash, F.col("_buckets").cast("long"))
+    ).cast("int")
+    hot = (
+        marked.filter(F.col("_base").isNotNull())
+        .withColumn("part_id", part)
+        .drop("_k", "_base", "_buckets")
+    )
+    return cold, hot, hot_parts
+
+
 def encode_dataframe(
     spark: SparkSession,
     df: DataFrame,
@@ -78,23 +170,41 @@ def encode_dataframe(
     """Run the encode pipeline; returns summary metrics.
 
     partitioning:
-      * "salted"  (default) — partition by salted url-host hash (or key
-        hash): co-locates rows for better symbol tables and handles hot
-        hosts, at the cost of one full shuffle.
+      * "salted"  (default) — HYBRID skew handling: one frequency
+        aggregation finds the hot keys (url hosts), only rows of hot keys
+        shuffle (into right-sized contiguous salt-bucket part ids); the
+        cold majority encodes in place with zero shuffle.  Pays shuffle
+        cost proportional to the skew it fixes.
+      * "salted_full" — legacy full shuffle: EVERY row repartitions by
+        salted url-host hash.  Maximum host co-location, one full
+        shuffle.
       * "aligned" — partition identity = input split
         (spark_partition_id): ZERO shuffle, each split encodes in place.
         The right mode for append-only ingest where the input layout is
-        already acceptable; resume keys on split ids, so it requires a
-        stable input file list across retries (true for static batches).
+        already acceptable.
+
+    Resume notes: "aligned" and the cold path of "salted" key partitions
+    on input split ids, so resume requires a stable input file list
+    across retries (true for static batches); hot part ids and the
+    hot-key plan are pure functions of table content.  The partitioning
+    mode and its parameters are recorded in the checkpoint dir and
+    resuming with different ones raises (a silent mismatch would skip
+    partitions via stale done-ids and drop data).
     """
     num_parts = num_parts or max(spark.sparkContext.defaultParallelism, 4)
+    if key_col is None:
+        key_col = "url" if "url" in df.columns else df.columns[0]
     if sort_cols is None:
         sort_cols = [c for c in ("warc_ts", "ts") if c in df.columns]
 
     source_cols = df.columns
+    hot = None
+    hot_parts = 0
     if partitioning == "aligned":
         work = df.withColumn("part_id", F.spark_partition_id())
     elif partitioning == "salted":
+        work, hot, hot_parts = _split_hot(spark, df, num_parts, key_col)
+    elif partitioning == "salted_full":
         work = with_part_id(df, num_parts, key_col, salt_buckets)
     else:
         raise ValueError(f"unknown partitioning mode {partitioning!r}")
@@ -102,6 +212,16 @@ def encode_dataframe(
         # fresh encode = fresh lineage (prevents duplicate part rows when
         # re-encoding an existing output dir from scratch)
         ckpt.clear_checkpoint(out_dir)
+    ckpt.check_partitioning_meta(
+        out_dir,
+        {
+            "partitioning": partitioning,
+            "num_parts": num_parts,
+            "key_col": key_col,
+            "salt_buckets": salt_buckets,
+        },
+        resume=resume,
+    )
     # dynamic partition overwrite only when resuming: a fresh encode must
     # truncate the whole blocks/manifest dirs, or partitions absent from
     # this run would survive and leak stale rows into decode
@@ -112,16 +232,25 @@ def encode_dataframe(
         done = done.cache()
         n_done = done.count()
         work = ckpt.filter_pending(work, done)
+        if hot is not None:
+            hot = ckpt.filter_pending(hot, done)
 
-    if partitioning == "aligned":
-        # splits are already disjoint on part_id — sort in place, no
-        # exchange anywhere in the plan
-        if sort_cols:
-            work = work.sortWithinPartitions(*sort_cols)
-    else:
+    if partitioning == "salted_full":
         work = work.repartition(num_parts, "part_id").sortWithinPartitions(
             "part_id", *sort_cols
         )
+    else:
+        # aligned / hybrid-cold: splits are already disjoint on part_id —
+        # sort in place, no exchange anywhere in the cold plan
+        if sort_cols:
+            work = work.sortWithinPartitions(*sort_cols)
+        if hot is not None:
+            hot = hot.repartition(hot_parts, "part_id").sortWithinPartitions(
+                "part_id", *sort_cols
+            )
+            # union concatenates partition lists (narrow): cold split
+            # tasks keep their indices, hot shuffled tasks follow
+            work = work.unionByName(hot)
 
     encode_fn = _make_encoder(source_cols, block_rows, block_bytes, key_col)
     blocks = work.mapInArrow(encode_fn, M.BLOCK_SCHEMA)

@@ -59,6 +59,10 @@ def test_column_subset_decode(spark, pages, tmp_path_factory):
 
 
 def test_resume_skips_done_and_completes_partial(spark, pages, tmp_path_factory):
+    # salted_full: part ids are CONTENT hashes, so resume can stitch a
+    # grown input onto a partial encode (aligned/hybrid key on input
+    # splits and support same-input retry only — enforced by the
+    # checkpoint partitioning metadata guard)
     out = str(tmp_path_factory.mktemp("enc_resume"))
     # first: encode only a subset of partitions (simulates a mid-run kill
     # after some partitions committed their checkpoint rows)
@@ -66,7 +70,7 @@ def test_resume_skips_done_and_completes_partial(spark, pages, tmp_path_factory)
     all_parts = sorted(r["part_id"] for r in part_ids)
     half = all_parts[: len(all_parts) // 2]
     subset = with_part_id(pages, 6).filter(F.col("part_id").isin(half)).drop("part_id")
-    m1 = encode_dataframe(spark, subset, out, num_parts=6)
+    m1 = encode_dataframe(spark, subset, out, num_parts=6, partitioning="salted_full")
     assert m1["rows"] < N_ROWS
 
     # resume over the FULL input — stitched from the done subset plus the
@@ -78,14 +82,14 @@ def test_resume_skips_done_and_completes_partial(spark, pages, tmp_path_factory)
         .drop("part_id")
     )
     full = subset.unionByName(rest.select(*subset.columns))
-    m2 = encode_dataframe(spark, full, out, num_parts=6)
+    m2 = encode_dataframe(spark, full, out, num_parts=6, partitioning="salted_full")
     assert m2["skipped_parts"] == len(half)
     assert m2["rows"] == N_ROWS
 
     verify_roundtrip(spark, pages, out, key="url")
 
     # third run: everything already done -> no work, output unchanged
-    m3 = encode_dataframe(spark, pages, out, num_parts=6)
+    m3 = encode_dataframe(spark, pages, out, num_parts=6, partitioning="salted_full")
     assert m3["skipped_parts"] == len(all_parts)
     assert m3["rows"] == N_ROWS
     assert m3["encoded_bytes"] == m2["encoded_bytes"]

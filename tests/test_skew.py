@@ -34,6 +34,55 @@ def test_salting_balances_hot_hosts(spark, pages):
     assert salted < unsalted / 1.5
 
 
+def test_hybrid_split_shuffles_only_hot(spark, pages):
+    from nem_mms_spark.jobs.encode import _split_hot
+
+    cold, hot, hot_parts = _split_hot(spark, pages, P, "url", min_hot_rows=500)
+    assert hot is not None and hot_parts >= 1
+    n_cold, n_hot = cold.count(), hot.count()
+    assert n_cold + n_hot == N
+    # the cold majority must not shuffle; hot partitions are right-sized:
+    # no hot part id may exceed the partition target (+1 bucket rounding)
+    target = N // P
+    sizes = [r["count"] for r in hot.groupBy("part_id").count().collect()]
+    assert max(sizes) <= target * 1.05, sizes
+    # hot part ids live beyond the input split range
+    n_input = pages.rdd.getNumPartitions()
+    ids = [r["part_id"] for r in hot.select("part_id").distinct().collect()]
+    assert min(ids) >= n_input
+    assert max(ids) < n_input + hot_parts
+
+
+def test_hybrid_plan_has_no_cold_exchange(spark, pages):
+    """The cold branch must be exchange-free (zero shuffle) — the whole
+    point of the hybrid mode."""
+    from nem_mms_spark.jobs.encode import _split_hot
+
+    cold, _hot, _ = _split_hot(spark, pages, P, "url", min_hot_rows=500)
+    plan = cold._jdf.queryExecution().executedPlan().toString()
+    # the hot-key plan table broadcast is fine; a shuffle is not
+    shuffles = plan.replace("BroadcastExchange", "").count("Exchange")
+    assert shuffles == 0, plan
+
+
+def test_resume_partitioning_mismatch_raises(spark, pages, tmp_path):
+    import pytest as _pytest
+
+    from nem_mms_spark.jobs.encode import encode_dataframe
+
+    out = str(tmp_path / "enc")
+    small = pages.limit(2000)
+    encode_dataframe(spark, small, out, num_parts=4, resume=False)
+    with _pytest.raises(ValueError, match="partitioning parameters changed"):
+        encode_dataframe(
+            spark, small, out, num_parts=8, resume=True
+        )
+    with _pytest.raises(ValueError, match="partitioning parameters changed"):
+        encode_dataframe(
+            spark, small, out, num_parts=4, resume=True, partitioning="aligned"
+        )
+
+
 def test_part_assignment_is_stable(spark, pages):
     a = with_part_id(pages, P).select("url", "part_id")
     b = with_part_id(pages, P).select("url", "part_id")
