@@ -74,6 +74,27 @@ def lsh_bucket_col(vec_col, planes: np.ndarray):
     return bucket
 
 
+def multiprobe_buckets(
+    spark, query: list[float], planes: np.ndarray, n_probes: int
+) -> list[int]:
+    """Probe sequence: the query's exact bucket plus single-bit flips of
+    the ``n_probes`` planes with the smallest |margin| (the planes the
+    query sits closest to — where a true neighbor most likely landed on
+    the other side).  The margins are evaluated with the SAME Catalyst
+    fold expressions as the data-side bucket signs, so an independent SQL
+    replication (left-fold dot products) derives the identical probe set.
+    """
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    exprs = [lsh_bucket_col(qcol, planes).alias("sig")] + [
+        F.abs(_dot(qcol, F.array(*[F.lit(float(x)) for x in p]))).alias(f"m{i}")
+        for i, p in enumerate(planes)
+    ]
+    row = spark.range(1).select(*exprs).collect()[0]
+    sig = int(row["sig"])
+    order = sorted(range(len(planes)), key=lambda i: (row[f"m{i}"], i))
+    return [sig] + [sig ^ (1 << i) for i in order[:n_probes]]
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query: list[float],
@@ -82,17 +103,24 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    n_probes: int = 4,
 ) -> DataFrame:
-    """ANN: restrict the exact scan to the query's LSH bucket (falls back
-    to nothing if the bucket is empty — callers widen planes/seeds).
+    """ANN: restrict the exact scan to the query's LSH bucket plus the
+    ``n_probes`` nearest sign-flip buckets (multi-probe: an empty or
+    sparse exact bucket no longer silently shrinks the result — the
+    single-probe recall hole from round 2).
 
     At scale the bucket column is precomputed and the table is
-    partitioned/bucketed by it, turning top-k into a single-bucket scan.
+    partitioned/bucketed by it, turning top-k into an (n_probes+1)-bucket
+    scan.  Recall vs the exact scan is contract-checked by the
+    ``ann_lsh_recall`` query.
     """
     planes = hyperplanes(len(query), n_planes, seed)
-    qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query)) > 0))
+    probes = multiprobe_buckets(
+        embeddings.sparkSession, query, planes, n_probes
+    )
     bucketed = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
-    cand = bucketed.filter(F.col("bucket") == qsig)
+    cand = bucketed.filter(F.col("bucket").isin(probes))
     return brute_force_topk(cand, query, k, id_col, vec_col)
 
 

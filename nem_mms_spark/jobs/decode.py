@@ -35,9 +35,20 @@ def decode_blocks(
     columns: list[str] | None = None,
     parts: list[int] | None = None,
     blocks: DataFrame | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """blocks: optional (part_id, block_id) DataFrame — only those block
-    groups are decoded (zone-map skipping; see scan_blocks)."""
+    groups are decoded (zone-map skipping; see scan_blocks).
+
+    engine:
+      * "arrow" (default) — repartition+sort by (part_id, block_id), then
+        a mapInArrow kernel splits groups at key boundaries and emits the
+        decoded columns as Arrow arrays DIRECTLY — no pandas object
+        conversion on string columns (the applyInPandas group path pays
+        arrow->pandas->arrow with python objects per string).
+      * "pandas" — the applyInPandas grouped-map path (kept for
+        comparison and as the simpler reference implementation).
+    """
     man = read_manifest(spark, out_dir)
     col_rows = (
         man.select("col_idx", "column", "logical_type").distinct().collect()
@@ -66,40 +77,103 @@ def decode_blocks(
             "left_semi",
         )
 
-    def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = int(pdf["value_count"].iloc[0])
-        if not (pdf["value_count"] == n).all():
+    def _decode_one(column, payload, params, codec, validity, n, null_count):
+        values = decode_block(
+            bytes(payload),
+            json.loads(params),
+            n - int(null_count),
+            _kernel_dtype_of(types[column]),
+            codec,
+        )
+        arr = framing.from_kernel(
+            values, types[column], bytes(validity), n, int(null_count)
+        )
+        if len(arr) != n:
             raise ValueError(
-                "corrupt block group: value_count mismatch across columns "
-                f"(part={pdf['part_id'].iloc[0]} block={pdf['block_id'].iloc[0]})"
+                f"decode count mismatch on {column}: {len(arr)} != {n}"
             )
-        out = {}
-        for row in pdf.itertuples(index=False):
-            values = decode_block(
-                bytes(row.payload),
-                json.loads(row.params),
-                n - int(row.null_count),
-                _kernel_dtype_of(types[row.column]),
-                row.codec,
-            )
-            arr = framing.from_kernel(
-                values, types[row.column], bytes(row.validity), n,
-                int(row.null_count),
-            )
-            if len(arr) != n:
-                raise ValueError(
-                    f"decode count mismatch on {row.column}: {len(arr)} != {n}"
-                )
-            out[row.column] = arr.to_pandas()
-        if set(out) != set(ordered):
-            raise ValueError(
-                f"block group missing columns: {sorted(set(ordered) - set(out))}"
-            )
-        return pd.DataFrame({c: out[c] for c in ordered})
+        return arr
 
-    return bdf.groupBy("part_id", "block_id").applyInPandas(
-        decode_group, schema=out_schema
+    if engine == "pandas":
+
+        def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = int(pdf["value_count"].iloc[0])
+            if not (pdf["value_count"] == n).all():
+                raise ValueError(
+                    "corrupt block group: value_count mismatch across columns "
+                    f"(part={pdf['part_id'].iloc[0]} block={pdf['block_id'].iloc[0]})"
+                )
+            out = {}
+            for row in pdf.itertuples(index=False):
+                out[row.column] = _decode_one(
+                    row.column, row.payload, row.params, row.codec,
+                    row.validity, n, row.null_count,
+                ).to_pandas()
+            if set(out) != set(ordered):
+                raise ValueError(
+                    f"block group missing columns: {sorted(set(ordered) - set(out))}"
+                )
+            return pd.DataFrame({c: out[c] for c in ordered})
+
+        return bdf.groupBy("part_id", "block_id").applyInPandas(
+            decode_group, schema=out_schema
+        )
+    if engine != "arrow":
+        raise ValueError(f"unknown decode engine {engine!r}")
+
+    import pyarrow as pa
+
+    # the recorded logical types ARE the arrow types Spark emitted at
+    # encode time, so emitting them back needs no conversion layer
+    arrow_schema = pa.schema(
+        [(c, framing._parse_type(types[c])) for c in ordered]
     )
+
+    group_cols = ["part_id", "block_id", "column", "codec", "params",
+                  "payload", "validity", "value_count", "null_count"]
+
+    def decode_stream(batches):
+        buf: list[dict] = []
+        cur = None
+
+        def flush():
+            n = int(buf[0]["value_count"])
+            out = {}
+            for r in buf:
+                if int(r["value_count"]) != n:
+                    raise ValueError(
+                        "corrupt block group: value_count mismatch across "
+                        f"columns (part={cur[0]} block={cur[1]})"
+                    )
+                out[r["column"]] = _decode_one(
+                    r["column"], r["payload"], r["params"], r["codec"],
+                    r["validity"], n, r["null_count"],
+                )
+            if set(out) != set(ordered):
+                raise ValueError(
+                    "block group missing columns: "
+                    f"{sorted(set(ordered) - set(out))}"
+                )
+            return pa.RecordBatch.from_arrays(
+                [out[c] for c in ordered], schema=arrow_schema
+            )
+
+        for batch in batches:
+            rows = batch.select(group_cols).to_pylist()
+            for r in rows:
+                key = (r["part_id"], r["block_id"])
+                if key != cur and buf:
+                    yield flush()
+                    buf = []
+                cur = key
+                buf.append(r)
+        if buf:
+            yield flush()
+
+    grouped = bdf.select(*group_cols).repartition(
+        "part_id", "block_id"
+    ).sortWithinPartitions("part_id", "block_id")
+    return grouped.mapInArrow(decode_stream, out_schema)
 
 
 def scan_blocks(
@@ -176,7 +250,18 @@ def scan_blocks(
     )
     col = F.col(pred_column)
     if is_ts:
-        col = F.unix_micros(col.cast("timestamp"))
+        if "tz=" in logical_type:
+            col = F.unix_micros(col)
+        else:
+            # timestamp_ntz -> epoch micros via pure calendar arithmetic:
+            # session-timezone-INDEPENDENT, so the exact row filter and
+            # the zone-map prune always agree (a cast-through-timestamp
+            # here would shift by the session tz and could drop rows)
+            col = F.timestamp_diff(
+                "MICROSECOND",
+                F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")),
+                col,
+            )
     if lo is not None:
         decoded = decoded.filter(col >= lo)
     if hi is not None:

@@ -73,18 +73,23 @@ def _split_hot(
     df: DataFrame,
     num_parts: int,
     key_col: str,
-    hot_factor: float = 0.5,
+    hot_factor: float = 1.0,
     min_hot_rows: int = 4096,
 ):
     """Hybrid skew plan: shuffle ONLY the rows whose key is hot.
 
     One aggregation job measures key frequencies (map-side combine shrinks
     it to the distinct-key count); keys holding more than
-    ``hot_factor * total / num_parts`` rows — the ones that would overflow
-    a partition — go to the shuffled path, everything else encodes in
-    place with zero shuffle (the aligned path).  By pigeonhole the hot set
-    has at most ``num_parts / hot_factor`` keys, so the plan table always
-    broadcasts.
+    ``hot_factor * total / num_parts`` rows — with the default
+    hot_factor=1.0, exactly the keys that CANNOT fit one partition — go
+    to the shuffled path, everything else encodes in place with zero
+    shuffle (the aligned path).  Salting pays only for the skew it fixes.
+    By pigeonhole the hot set has at most ``num_parts / hot_factor``
+    keys, so the plan table always broadcasts.
+
+    Note on shuffle compression: keep it ON even for tmpfs shuffle dirs —
+    this box is memory-bandwidth-bound and lz4 REDUCES bytes through the
+    memory system (measured: uncompressed shuffle was 5x slower).
 
     Each hot key gets a right-sized CONTIGUOUS range of part ids
     (``buckets = ceil(count / target)`` salt buckets starting at a

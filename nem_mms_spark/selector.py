@@ -20,7 +20,7 @@ import numpy as np
 from nem_mms_spark.codecs import fsst as fsst_mod
 from nem_mms_spark.codecs import registry, worddict
 from nem_mms_spark.codecs.basic import _factorize_bytes
-from nem_mms_spark.codecs.primitives import bit_width, gather_bytes, run_ends
+from nem_mms_spark.codecs.primitives import bit_width, run_ends
 
 _CARD_SAMPLE = 2048
 _SKIP_EXACT_RATIO = 0.95

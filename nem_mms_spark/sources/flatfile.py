@@ -24,11 +24,12 @@ Spark restatement (no per-row Python after line extraction):
                asserted against the actual per-file record count
   route        one parquet dataset per package  [S7/S8]
 
-Dialect note: RFC-4180 quoting is supported at the field level — a quoted
-field may contain commas, and doubled quotes inside a quoted field unescape
-to one quote (the reference's csv-crate defaults, main.rs:161-165).
-Embedded NEWLINES inside quoted fields are not supported (line extraction
-splits first); they do not occur in MMS files.
+Dialect note: RFC-4180 quoting is fully supported — a quoted field may
+contain commas, doubled quotes unescape to one quote, and a quoted field
+may contain embedded newlines (record extraction is quote-aware: a
+physical line with unbalanced quotes continues the record, matching the
+reference's csv-crate defaults, main.rs:161-165).  CRLF line endings
+normalize to LF inside quoted fields.
 """
 
 from __future__ import annotations
@@ -86,10 +87,29 @@ def _expand_blob(name: str, blob: bytes):
                     )
     elif lower.endswith(".csv"):
         text = blob.decode("utf-8", errors="replace")
-        for i, line in enumerate(text.splitlines()):
-            if line:
-                yield (name, i, line)
+        for i, rec in enumerate(_split_records(text)):
+            if rec:
+                yield (name, i, rec)
     # other extensions: skipped (main.rs:187)
+
+
+def _split_records(text: str):
+    """Quote-aware record extraction: a newline terminates a record only
+    when all quotes so far are balanced (RFC-4180 — a quoted field may
+    span physical lines).  Doubled quotes contribute 2 to the count, so
+    escaped quotes keep the parity correct."""
+    buf: str | None = None
+    for part in text.split("\n"):
+        if part.endswith("\r"):
+            part = part[:-1]
+        cur = part if buf is None else f"{buf}\n{part}"
+        if cur.count('"') % 2 == 0:
+            buf = None
+            yield cur
+        else:
+            buf = cur
+    if buf is not None:
+        yield buf  # unbalanced quote at EOF: emit verbatim (parse errors surface downstream)
 
 
 # split on commas OUTSIDE quoted fields: a comma is a delimiter iff the
@@ -99,9 +119,10 @@ _CSV_SPLIT_RE = ',(?=(?:[^"]*"[^"]*")*[^"]*$)'
 
 
 def _unquote(x):
-    """Strip one layer of surrounding quotes and unescape doubled quotes."""
+    """Strip one layer of surrounding quotes and unescape doubled quotes.
+    (?s): a quoted field may contain embedded newlines."""
     return F.when(
-        x.rlike('^".*"$'),
+        x.rlike('(?s)^".*"$'),
         F.regexp_replace(x.substr(F.lit(2), F.length(x) - 2), '""', '"'),
     ).otherwise(x)
 
@@ -261,28 +282,60 @@ def parse_flatfiles(
     """Full pipeline: path -> {package_name: typed DataFrame} (the
     reference's `parse` entry point, main.rs:92-99)."""
     lines = read_flatfile_lines(spark, path)
-    # cache once: classification check, EOR checksum, header discovery and
-    # per-package binds all reuse this plan instead of rescanning the input
+    # cache once: all validations + per-package binds reuse this plan
     classified = classify_lines(lines, check=False).cache()
-    _check_classified(classified)
 
-    # EOR checksum: the trailer's count_of_records must equal the file's
-    # actual record count, EOR row included (the reference's data-integrity
-    # trailer, flatfile.rs:475-488, enforced here)
-    eor = comment_records(classified).filter(F.col("kind") == "EOR")
-    bad_counts = (
+    # ONE validation aggregation (one Spark job, which also populates the
+    # cache) produces everything the driver must check or know up front:
+    # first unclassifiable row per file, the EOR row-count checksum
+    # (flatfile.rs:475-488), and the distinct segment identities + header
+    # sets for package discovery (MissingColumnHeader, flatfile.rs:120).
+    is_eor = (F.col("rtype") == "C") & (F.col("fields")[1] == "END OF REPORT")
+    seg_ident = F.when(
+        F.col("rtype") == "I",
+        F.struct(
+            F.col("fields")[1].alias("report_type"),
+            F.col("fields")[2].alias("report_subtype"),
+            F.slice(
+                F.col("fields"), 5, F.greatest(F.size("fields") - 4, F.lit(0))
+            ).alias("headers"),
+        ),
+    )
+    summary = (
         classified.groupBy("file")
-        .agg(F.count("*").alias("n_records"))
-        .join(eor.select("file", "count_of_records"), "file")
-        .filter(F.col("n_records") != F.col("count_of_records"))
+        .agg(
+            F.count("*").alias("n_records"),
+            F.min(
+                F.when(
+                    F.col("rtype").isNull(), F.struct("line_no", "value")
+                )
+            ).alias("bad"),
+            F.min(F.when(is_eor, F.col("fields")[2].cast("long"))).alias(
+                "eor_count"
+            ),
+            F.collect_set(seg_ident).alias("segs"),
+        )
         .collect()
     )
-    if bad_counts:
-        r = bad_counts[0]
-        raise ValueError(
-            f"EOR count mismatch in {r['file']}: trailer says "
-            f"{r['count_of_records']} records, file has {r['n_records']}"
-        )
+    for r in summary:
+        if r["bad"] is not None:
+            raise ValueError(
+                f"unrecognized payload at {r['file']}:{r['bad']['line_no']}:"
+                f"{underline_field(r['bad']['value'], 0)}"
+                'Expected one of ["C", "I", "D"]'
+            )
+    for r in summary:
+        if r["eor_count"] is not None and r["eor_count"] != r["n_records"]:
+            raise ValueError(
+                f"EOR count mismatch in {r['file']}: trailer says "
+                f"{r['eor_count']} records, file has {r['n_records']}"
+            )
+    header_sets: dict[tuple, list] = {}
+    for r in summary:
+        for s in r["segs"]:
+            header_sets.setdefault(
+                (s["report_type"], s["report_subtype"]), []
+            ).append(list(s["headers"]))
 
     info = segment_info(classified)
 
@@ -297,12 +350,8 @@ def parse_flatfiles(
 
     joined = data.join(F.broadcast(info), ["file", "seg"])
 
-    present = {
-        (r["report_type"], r["report_subtype"])
-        for r in info.select("report_type", "report_subtype").distinct().collect()
-    }
     out: dict[str, DataFrame] = {}
-    for key in sorted(present):
+    for key in sorted(header_sets):
         pkg = PACKAGE_OF_REPORT.get(key)
         if pkg is None:
             # skipped with a warning, not fatal (mod.rs:201-207)
@@ -313,18 +362,10 @@ def parse_flatfiles(
             (F.col("report_type") == key[0])
             & (F.col("report_subtype") == key[1])
         )
-        # header presence check per segment variant
-        # (MissingColumnHeader, flatfile.rs:120)
-        for hdr in (
-            info.filter(
-                (F.col("report_type") == key[0])
-                & (F.col("report_subtype") == key[1])
-            )
-            .select("headers")
-            .distinct()
-            .collect()
-        ):
-            have = set(hdr["headers"])
+        # header presence check per segment variant, from the validation
+        # summary — no extra job (MissingColumnHeader, flatfile.rs:120)
+        for headers in header_sets[key]:
+            have = set(headers)
             missing = [f.name for f in schema.fields if f.name not in have]
             if missing:
                 raise ValueError(

@@ -1,1 +1,4 @@
-from nem_mms_spark.streaming.incremental import incremental_encode  # noqa: F401
+from nem_mms_spark.streaming.incremental import (  # noqa: F401
+    decode_stream_output,
+    incremental_encode,
+)

@@ -63,3 +63,24 @@ def incremental_encode(
     if trigger_once:
         q.awaitTermination()
     return q
+
+
+def decode_stream_output(
+    spark: SparkSession, out_dir: str, columns: list[str] | None = None
+):
+    """Decode the WHOLE streaming output — every batch=<epoch> dir — as
+    one DataFrame: each batch dir is a self-contained blocks+manifest
+    layout, so the union of their decodes is the union of the inputs.
+    (The consumer-side counterpart of the per-batch encode above.)"""
+    from nem_mms_spark.jobs.decode import decode_blocks
+
+    batches = sorted(
+        d for d in os.listdir(out_dir) if d.startswith("batch=")
+    )
+    if not batches:
+        raise ValueError(f"no batch outputs under {out_dir}")
+    out = None
+    for b in batches:
+        dec = decode_blocks(spark, os.path.join(out_dir, b), columns=columns)
+        out = dec if out is None else out.unionByName(dec)
+    return out

@@ -116,6 +116,27 @@ def test_quoted_fields_rfc4180(spark, tmp_path):
     assert rows == {"UNIT,01": 1.5, 'say "hi"': 2.5}
 
 
+def test_quoted_embedded_newline(spark, tmp_path):
+    # a quoted field containing a newline is ONE record (the reference's
+    # csv crate accepts this, main.rs:161-165); the EOR trailer counts it
+    # as one record too
+    f = "\n".join(
+        [
+            "I,DISPATCH,UNIT_SCADA,1,SETTLEMENTDATE,DUID,SCADAVALUE",
+            'D,DISPATCH,UNIT_SCADA,1,2021/04/01 04:40:00,"UNIT\nA",1.5',
+            "C,END OF REPORT,3",
+        ]
+    )
+    p = tmp_path / "nl.csv"
+    p.write_text(f)
+    lines = read_flatfile_lines(spark, str(p))
+    assert lines.count() == 3  # the two physical lines merged into one record
+    rows = parse_flatfiles(spark, str(p))["DISPATCH_UNIT_SCADA"].collect()
+    assert len(rows) == 1
+    assert rows[0]["DUID"] == "UNIT\nA"
+    assert rows[0]["SCADAVALUE"] == 1.5
+
+
 def test_eor_count_mismatch_is_fatal(spark, tmp_path):
     f = "\n".join(
         [

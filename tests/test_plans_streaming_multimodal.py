@@ -84,6 +84,17 @@ def test_incremental_encode_two_batches(spark, tmp_path):
     total = sum(decode_blocks(spark, b).count() for b in batches)
     assert total == 800
 
+    # cross-batch decode: one call reads the whole stream output and is
+    # multiset-equal to the union of the inputs
+    from nem_mms_spark.streaming import decode_stream_output
+
+    dec = decode_stream_output(spark, out)
+    src_df = spark.read.parquet(src)
+    a = src_df.groupBy("url").count()
+    b = dec.groupBy("url").count()
+    assert dec.count() == 800
+    assert a.join(b, ["url", "count"]).count() == a.count()
+
 
 def test_multimodal_feature_extraction(spark):
     import pandas as pd
