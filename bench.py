@@ -213,7 +213,19 @@ def run_encode_scaling(tmp: str) -> dict:
     eff_2_8 = (results[2]["wall_s"] / results[lo]["wall_s"]) / (lo / 2)
 
     kernel_ceiling = _kernel_warm_scaling()
-    membw = _membw_probe()
+    # the box's deliverable bandwidth varies across time windows
+    # (hypervisor neighbors): probe twice and average the efficiencies so
+    # one lucky/unlucky window cannot skew the normalization
+    membw_a = _membw_probe()
+    membw_b = _membw_probe()
+    membw = {
+        "runs": [membw_a, membw_b],
+        8: {"aggregate_gb_s": round((membw_a[8]["aggregate_gb_s"] + membw_b[8]["aggregate_gb_s"]) / 2, 2)},
+        32: {"aggregate_gb_s": round((membw_a[32]["aggregate_gb_s"] + membw_b[32]["aggregate_gb_s"]) / 2, 2)},
+        "efficiency_8_to_32": round(
+            (membw_a["efficiency_8_to_32"] + membw_b["efficiency_8_to_32"]) / 2, 4
+        ),
+    }
 
     # decode throughput at the wide config: same warm discipline as the
     # encode protocol — one UNTIMED full decode grows/warms every python
