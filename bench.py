@@ -140,7 +140,7 @@ def run_encode_scaling(tmp: str) -> dict:
     ratios: dict[str, float] = {}
     raw_bytes = rows = None
 
-    def run_config(cores: int, mode: str, reps: int) -> None:
+    def run_config(cores: int, modes: tuple, reps: int) -> None:
         nonlocal raw_bytes, rows
         spark = _new_spark(cores)
         _warm_up(spark, src)
@@ -152,37 +152,56 @@ def run_encode_scaling(tmp: str) -> dict:
         # encoded output goes to tmpfs for the same reason as shuffle: a
         # real cluster's aggregate write bandwidth scales with node count,
         # the sandbox's single virtual disk does not
-        out = os.path.join("/dev/shm/nem_mms_bench", f"enc_{mode}_{cores}")
-        # untimed warm encode: pre-fault every worker heap at full size
-        shutil.rmtree(out, ignore_errors=True)
-        encode_dataframe(
-            spark, df, out, num_parts=64, resume=False, partitioning=mode
-        )
-        for _ in range(reps):
+        out = os.path.join("/dev/shm/nem_mms_bench", f"enc_{cores}")
+        # untimed warm encode per mode: pre-fault every worker heap at
+        # full size (+ JIT the mode's plan shape)
+        for mode in modes:
             shutil.rmtree(out, ignore_errors=True)
-            t0 = time.monotonic()
-            # partitions sized ~100 MB raw (amortizes symbol-table
-            # training), 2 waves at the widest config for smooth wave
-            # scheduling (same sizing logic as a real cluster run)
-            m = encode_dataframe(
+            encode_dataframe(
                 spark, df, out, num_parts=64, resume=False, partitioning=mode
             )
-            walls.setdefault((mode, cores), []).append(time.monotonic() - t0)
-            raw_bytes, rows = m["raw_bytes"], m["rows"]
-            ratios[mode] = m["ratio"]
+        # ALTERNATE modes rep by rep inside the session: the salted-vs-
+        # aligned ratio is then computed from reps sharing the same noise
+        # windows (separate sessions made the ratio a noise lottery)
+        for _ in range(reps):
+            for mode in modes:
+                shutil.rmtree(out, ignore_errors=True)
+                t0 = time.monotonic()
+                # partitions sized ~100 MB raw (amortizes symbol-table
+                # training), 2 waves at the widest config for smooth wave
+                # scheduling (same sizing logic as a real cluster run)
+                m = encode_dataframe(
+                    spark, df, out, num_parts=64, resume=False,
+                    partitioning=mode,
+                )
+                walls.setdefault((mode, cores), []).append(
+                    time.monotonic() - t0
+                )
+                raw_bytes, rows = m["raw_bytes"], m["rows"]
+                ratios[mode] = m["ratio"]
+        # keep the widest salted output for the decode measurement
+        if cores == SCALING_MASTERS[1]:
+            shutil.rmtree(
+                os.path.join("/dev/shm/nem_mms_bench", "enc_decode"),
+                ignore_errors=True,
+            )
+            encode_dataframe(
+                spark, df,
+                os.path.join("/dev/shm/nem_mms_bench", "enc_decode"),
+                num_parts=64, resume=False, partitioning="salted",
+            )
         spark.stop()
 
-    # two sessions per (mode, level), interleaved across levels so a
-    # hypervisor stall window cannot bias one level systematically
+    # two sessions per level, both modes interleaved inside each session;
+    # sessions alternate across levels so a hypervisor stall window
+    # cannot bias one level systematically
     for _sess in range(2):
         for cores in SCALING_MASTERS:
-            run_config(cores, "aligned", 2)
-    for cores in SCALING_MASTERS:
-        run_config(cores, "salted", 2)
+            run_config(cores, ("aligned", "salted"), 2)
     # secondary point on the scaling curve: N=2 (2->8 is the second
     # N-vs-4N pair; together with 8->32 it shows where the single box's
     # shared L3/memory controller bends the curve)
-    run_config(2, "aligned", 1)
+    run_config(2, ("aligned",), 1)
     # adaptive extra session: if the best two reps of a config disagree
     # badly the windows were disturbed — buy more samples for that config
     for (mode, cores), ws in list(walls.items()):
@@ -190,7 +209,7 @@ def run_encode_scaling(tmp: str) -> dict:
             continue
         a, b = sorted(ws)[:2]
         if b > 1.25 * a:
-            run_config(cores, mode, 2)
+            run_config(cores, (mode,), 2)
 
     def summarize(mode: str, levels) -> dict:
         res = {}
@@ -231,7 +250,7 @@ def run_encode_scaling(tmp: str) -> dict:
     # encode protocol — one UNTIMED full decode grows/warms every python
     # worker heap, then timed reps (the r2 bench's 69s-vs-14s first-rep
     # spread was cold first-touch faults, not decode work)
-    enc_dir = os.path.join("/dev/shm/nem_mms_bench", f"enc_salted_{hi}")
+    enc_dir = os.path.join("/dev/shm/nem_mms_bench", "enc_decode")
     from nem_mms_spark.jobs.decode import decode_blocks
     from pyspark.sql import functions as F
 
