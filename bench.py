@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "embedding_norms_by_label",
     "minhash_lsh_recall",
     "ann_lsh_recall",
+    "embedding_cosine_pairs",
     "simhash_fingerprints",
     "flatfile_scada_rollup",
     "zonemap_range_scan",

@@ -147,17 +147,36 @@ def gather_bytes(
     """Take rows `indices` from a (data, offsets) chunk, vectorized.
 
     Returns a new (data, offsets) pair.  Used to materialize dictionary
-    values / run values without per-row Python.
+    values / run values without per-row Python.  Large gathers route
+    through pyarrow's C++ take kernel (one memcpy per row instead of the
+    numpy per-byte repeat/arange scatter, ~5 passes less memory traffic);
+    small ones stay in numpy (lower fixed overhead).
     """
+    n = len(indices)
     starts = offsets[indices]
     lengths = offsets[indices + 1] - starts
-    out_offsets = np.zeros(len(indices) + 1, dtype=np.int64)
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=out_offsets[1:])
     total = int(out_offsets[-1])
     if total == 0:
         return np.zeros(0, dtype=np.uint8), out_offsets
+    if total >= (1 << 16):
+        import pyarrow as pa
+
+        src_offs = np.ascontiguousarray(offsets, dtype=np.int64)
+        src_data = np.ascontiguousarray(data)
+        arr = pa.Array.from_buffers(
+            pa.large_binary(),
+            len(src_offs) - 1,
+            [None, pa.py_buffer(src_offs), pa.py_buffer(src_data)],
+        )
+        taken = arr.take(pa.array(indices, type=pa.int64()))
+        bufs = taken.buffers()
+        # take output is dense from 0, so its offsets == out_offsets
+        out_data = np.frombuffer(bufs[2], dtype=np.uint8)[:total].copy()
+        return out_data, out_offsets
     # source byte positions: for each row, starts[i] + arange(lengths[i])
-    row_of_byte = np.repeat(np.arange(len(indices)), lengths)
+    row_of_byte = np.repeat(np.arange(n), lengths)
     pos_in_row = np.arange(total) - np.repeat(out_offsets[:-1], lengths)
     src = starts[row_of_byte] + pos_in_row
     return data[src], out_offsets

@@ -104,17 +104,36 @@ def _split_hot(
     ``[n_input, n_input + hot_parts)``.
     """
     kexpr = _key_expr(key_col)
-    counts = df.groupBy(kexpr.alias("_k")).count().cache()
-    total = counts.agg(F.sum("count")).collect()[0][0] or 0
+    # hot detection runs on a 5% sample when the table is large enough
+    # (a key at the hot threshold still lands thousands of sampled rows,
+    # so detection error is ~2%); small tables fall back to the exact
+    # count.  The seeded sample is deterministic for a fixed input split
+    # list — the same caveat the cold path's part ids already carry.
+    frac = 0.05
+    sampled = df.sample(fraction=frac, seed=7)
+    counts = sampled.groupBy(kexpr.alias("_k")).count().cache()
+    sample_total = counts.agg(F.sum("count")).collect()[0][0] or 0
+    if sample_total < 100_000:
+        counts.unpersist()
+        frac = 1.0
+        counts = df.groupBy(kexpr.alias("_k")).count().cache()
+        sample_total = counts.agg(F.sum("count")).collect()[0][0] or 0
+    total = int(sample_total / frac)
     target = max(1, total // max(num_parts, 1))
     # min_hot_rows floor: when partitions are tiny (small tables), "skew"
     # cannot hurt and per-key bucket math degenerates — stay aligned
     thresh = max(min_hot_rows, int(hot_factor * target))
     hot_rows = (
-        counts.filter((F.col("count") > thresh) & F.col("_k").isNotNull())
-        .collect()
+        counts.filter(
+            (F.col("count") > thresh * frac) & F.col("_k").isNotNull()
+        ).collect()
     )
     counts.unpersist()
+    if frac < 1.0:
+        hot_rows = [
+            {"_k": r["_k"], "count": int(r["count"] / frac)}
+            for r in hot_rows
+        ]
     n_input = df.rdd.getNumPartitions()
     if not hot_rows:
         return df.withColumn("part_id", F.spark_partition_id()), None, 0
@@ -126,8 +145,9 @@ def _split_hot(
     for r in hot_rows:
         # right-sized: enough salt buckets that no bucket exceeds the
         # partition target (a key that fits a partition gets 1 bucket =
-        # pure co-location; a monster key gets as many as it needs)
-        buckets = max(-(-r["count"] // target), 1)
+        # pure co-location; a monster key gets as many as it needs); 2%
+        # inflation absorbs sampling error in the count estimate
+        buckets = max(-(-int(r["count"] * 1.02) // target), 1)
         plan.append((r["_k"], base, buckets))
         base += buckets
     hot_parts = base
@@ -253,19 +273,63 @@ def encode_dataframe(
             hot = hot.repartition(hot_parts, "part_id").sortWithinPartitions(
                 "part_id", *sort_cols
             )
-            # union concatenates partition lists (narrow): cold split
-            # tasks keep their indices, hot shuffled tasks follow
-            work = work.unionByName(hot)
 
     encode_fn = _make_encoder(source_cols, block_rows, block_bytes, key_col)
-    blocks = work.mapInArrow(encode_fn, M.BLOCK_SCHEMA)
-    (
-        blocks.write.mode("overwrite")
-        .partitionBy("part_id")
-        .option("compression", "none")
-        .option("partitionOverwriteMode", overwrite_mode)
-        .parquet(os.path.join(out_dir, M.BLOCKS_DIR))
-    )
+    blocks_dir = os.path.join(out_dir, M.BLOCKS_DIR)
+
+    def _write_blocks(branch: DataFrame, dest: str, mode: str) -> None:
+        (
+            branch.mapInArrow(encode_fn, M.BLOCK_SCHEMA)
+            .write.mode("overwrite")
+            .partitionBy("part_id")
+            .option("compression", "none")
+            .option("partitionOverwriteMode", mode)
+            .parquet(dest)
+        )
+
+    if hot is None:
+        _write_blocks(work, blocks_dir, overwrite_mode)
+    else:
+        # TWO CONCURRENT JOBS: inside one union job Spark must finish the
+        # hot branch's shuffle-map stage before ANY result-stage task
+        # starts, so the zero-shuffle cold encode would sit hostage to
+        # the hot shuffle (measured ~2x wall).  Submitting the branches
+        # from two driver threads lets the cold encode run while the hot
+        # shuffle maps/reduces; the hot output lands in a staging dir and
+        # its disjoint part_id dirs are moved in afterwards (rename on a
+        # filesystem; an object-store deployment would commit both
+        # prefixes to the table catalog instead).
+        import shutil as _shutil
+        import threading
+
+        hot_tmp = blocks_dir + "_hot_tmp"
+        _shutil.rmtree(hot_tmp, ignore_errors=True)
+        errors: list[BaseException] = []
+
+        def _run(fn, *a):
+            try:
+                fn(*a)
+            except BaseException as exc:  # surfaced after join
+                errors.append(exc)
+
+        t_cold = threading.Thread(
+            target=_run, args=(_write_blocks, work, blocks_dir, overwrite_mode)
+        )
+        t_hot = threading.Thread(
+            target=_run, args=(_write_blocks, hot, hot_tmp, "static")
+        )
+        t_cold.start()
+        t_hot.start()
+        t_cold.join()
+        t_hot.join()
+        if errors:
+            raise errors[0]
+        for d in os.listdir(hot_tmp):
+            if d.startswith("part_id="):
+                dest = os.path.join(blocks_dir, d)
+                _shutil.rmtree(dest, ignore_errors=True)
+                os.rename(os.path.join(hot_tmp, d), dest)
+        _shutil.rmtree(hot_tmp, ignore_errors=True)
 
     # manifest + checkpoint from block METADATA only (payload pruned away)
     bmeta = spark.read.parquet(os.path.join(out_dir, M.BLOCKS_DIR)).select(

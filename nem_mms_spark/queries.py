@@ -430,6 +430,39 @@ def ann_lsh_recall(spark, sf_dir):
     )
 
 
+def embedding_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup primitive: the most-similar vector pairs
+    by exact cosine (the verification stage of embedding near-dup).  The
+    synthetic embeddings are random — no pair exceeds ~0.51 — so instead
+    of a vacuous threshold filter the query returns the exact top-20
+    pairs, fully oracle-checked.  At 10^12-doc scale the candidate pairs
+    come from the LSH bucket join (lsh_bucket_col) and only candidates
+    pay the exact cosine; here the candidate set is the full self-join.
+    """
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = similarity._dot(F.col("a.v"), F.col("b.v"))
+    na = similarity.l2_norm(F.col("a.v"))
+    nb = similarity.l2_norm(F.col("b.v"))
+    cos = dot / (na * nb)
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_a", "vec_b")
+        .limit(20)
+    )
+    return pairs.select(
+        "vec_a", "vec_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def multimodal_image_meta(spark, sf_dir):
     """Fake-image decode plumbing: derive deterministic image blobs from
     documents, run the Arrow-batched metadata extractor.  The extracted
@@ -658,6 +691,7 @@ QUERIES = {
     "simhash_fingerprints": simhash_fingerprints,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_lsh_recall": ann_lsh_recall,
+    "embedding_cosine_pairs": embedding_cosine_pairs,
     "multimodal_image_meta": multimodal_image_meta,
     "zonemap_range_scan": zonemap_range_scan,
     "encode_roundtrip_metrics": encode_roundtrip_metrics,
@@ -809,6 +843,22 @@ ORACLE_SQL = {
     """,
     "simhash_fingerprints": _simhash_sql(),
     "ann_lsh_topk": _ann_lsh_sql(),
+    "embedding_cosine_pairs": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+        ORDER BY list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) DESC,
+                 a.vec_id, b.vec_id
+        LIMIT 20
+    """,
     "ann_lsh_recall": """
         SELECT CAST(10 AS BIGINT) AS k,
                CAST(5 AS BIGINT) AS recall_floor,
