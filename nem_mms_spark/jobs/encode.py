@@ -318,10 +318,14 @@ def encode_dataframe(
         t_hot = threading.Thread(
             target=_run, args=(_write_blocks, hot, hot_tmp, "static")
         )
-        t_cold.start()
+        # hot FIRST: FIFO scheduling favors the earlier job, and the hot
+        # job owns the longer critical path (its reduce stage cannot start
+        # until its shuffle-map stage completes); the cold job's
+        # independent tasks then fill whatever slots the hot stages leave
         t_hot.start()
-        t_cold.join()
+        t_cold.start()
         t_hot.join()
+        t_cold.join()
         if errors:
             raise errors[0]
         for d in os.listdir(hot_tmp):

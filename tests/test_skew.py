@@ -83,6 +83,21 @@ def test_resume_partitioning_mismatch_raises(spark, pages, tmp_path):
         )
 
 
+def test_hybrid_same_input_resume_is_noop(spark, pages, tmp_path):
+    """Hybrid resume contract: re-running the same input over a completed
+    encode skips every partition and leaves the output byte-identical."""
+    from nem_mms_spark.checkpoint import checkpoint_totals
+    from nem_mms_spark.jobs.encode import encode_dataframe
+
+    out = str(tmp_path / "enc")
+    m1 = encode_dataframe(spark, pages, out, num_parts=8, resume=False)
+    before = checkpoint_totals(out)
+    m2 = encode_dataframe(spark, pages, out, num_parts=8, resume=True)
+    assert m2["skipped_parts"] == before["parts"]
+    assert m2["rows"] == m1["rows"] == N
+    assert m2["encoded_bytes"] == m1["encoded_bytes"]
+
+
 def test_part_assignment_is_stable(spark, pages):
     a = with_part_id(pages, P).select("url", "part_id")
     b = with_part_id(pages, P).select("url", "part_id")
