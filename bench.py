@@ -193,10 +193,12 @@ def run_encode_scaling(tmp: str) -> dict:
             )
         spark.stop()
 
-    # two sessions per level, both modes interleaved inside each session;
-    # sessions alternate across levels so a hypervisor stall window
-    # cannot bias one level systematically
-    for _sess in range(2):
+    # three sessions per level, both modes interleaved inside each
+    # session; sessions alternate across levels so a hypervisor stall
+    # window cannot bias one level systematically (deliverable bandwidth
+    # on this box swings ~2x between windows minutes apart — min over
+    # many interleaved sessions is the only stable estimator)
+    for _sess in range(3):
         for cores in SCALING_MASTERS:
             run_config(cores, ("aligned", "salted"), 2)
     # secondary point on the scaling curve: N=2 (2->8 is the second
