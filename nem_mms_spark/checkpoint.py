@@ -52,35 +52,6 @@ def filter_pending(df: DataFrame, done: DataFrame | None) -> DataFrame:
     return df.join(F.broadcast(done), "part_id", "left_anti")
 
 
-def checkpoint_rows_from_manifest(man_rows) -> list[dict]:
-    """Derive per-partition lineage rows from collected manifest rows
-    (one row per partition-column; tiny)."""
-    parts: dict[int, dict] = {}
-    for r in man_rows:
-        p = parts.setdefault(
-            r["part_id"],
-            {
-                "part_id": r["part_id"],
-                "status": "done",
-                "n_rows": 0,
-                "n_blocks": 0,
-                "n_columns": 0,
-                "raw_bytes": 0,
-                "encoded_bytes": 0,
-                "fingerprint": r["fingerprint"],
-                "encode_ns": 0,
-            },
-        )
-        if r["col_idx"] == 0:
-            p["n_rows"] = r["n_values"]
-            p["n_blocks"] = r["n_blocks"]
-        p["n_columns"] += 1
-        p["raw_bytes"] += r["raw_bytes"]
-        p["encoded_bytes"] += r["encoded_bytes"]
-        p["encode_ns"] = max(p["encode_ns"], r["encode_ns"])
-    return [parts[k] for k in sorted(parts)]
-
-
 def commit_checkpoint_rows(rows: list[dict], out_dir: str) -> None:
     """Driver-side metadata commit (catalog style): one parquet file per
     encode run, named by a digest of its content so a retried commit is
@@ -116,9 +87,24 @@ def check_partitioning_meta(out_dir: str, meta: dict, *, resume: bool) -> None:
     function of (mode, num_parts, key_col, salt_buckets), so resuming
     with a different assignment would anti-join fresh part ids against
     stale done ids — silently skipping partitions and dropping data."""
+    import glob
     import json
 
     path = _partitioning_meta_path(out_dir)
+    if resume and not os.path.exists(path):
+        # a checkpoint with committed runs but NO meta file predates the
+        # meta guard (or lost it): its done-ids were produced by an
+        # unknown part-id assignment, so silently adopting the current
+        # meta would re-create the exact stale-done-ids data-drop this
+        # guard exists to prevent — refuse and make the caller decide
+        if glob.glob(os.path.join(checkpoint_path(out_dir), "run-*.parquet")):
+            raise ValueError(
+                "cannot resume: checkpoint has committed runs but no "
+                "_partitioning.json (written by an older engine version "
+                "or corrupted), so the stored done-ids cannot be proven "
+                "to use this run's part-id assignment; re-encode with "
+                "resume=False or restore the original meta file"
+            )
     if resume and os.path.exists(path):
         with open(path) as f:
             existing = json.load(f)

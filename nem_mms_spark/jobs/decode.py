@@ -36,9 +36,16 @@ def decode_blocks(
     parts: list[int] | None = None,
     blocks: DataFrame | None = None,
     engine: str = "arrow",
+    stream_batches: bool = False,
 ) -> DataFrame:
     """blocks: optional (part_id, block_id) DataFrame — only those block
     groups are decoded (zone-map skipping; see scan_blocks).
+
+    stream_batches: out_dir is a streaming-encode root holding
+    ``batch=<epoch>/blocks`` layouts — ONE glob scan reads every batch
+    (plan size and driver work are O(1) in epoch count, not a per-batch
+    union loop), with the batch id recovered from the file path so block
+    groups never collide across epochs.
 
     engine:
       * "arrow" (default) — repartition+sort by (part_id, block_id), then
@@ -49,7 +56,21 @@ def decode_blocks(
       * "pandas" — the applyInPandas grouped-map path (kept for
         comparison and as the simpler reference implementation).
     """
-    man = read_manifest(spark, out_dir)
+    if stream_batches:
+        # one multi-root scan over every batch dir: a single FileSourceScan
+        # whatever the epoch count (the directory listing is one driver
+        # pass; an object-store deployment would list via the catalog)
+        batch_dirs = sorted(
+            d for d in os.listdir(out_dir) if d.startswith("batch=")
+        )
+        # recursiveFileLookup turns off hive partition discovery (the
+        # batch=N/blocks/part_id=M nesting confuses it); the partition
+        # identity is recovered from the file path instead
+        man = spark.read.option("recursiveFileLookup", "true").parquet(
+            *[os.path.join(out_dir, b, M.MANIFEST_DIR) for b in batch_dirs]
+        )
+    else:
+        man = read_manifest(spark, out_dir)
     col_rows = (
         man.select("col_idx", "column", "logical_type").distinct().collect()
     )
@@ -65,7 +86,25 @@ def decode_blocks(
     ]
     types = {r["column"]: r["logical_type"] for r in col_rows}
 
-    bdf = spark.read.parquet(os.path.join(out_dir, M.BLOCKS_DIR))
+    if stream_batches:
+        bdf = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(
+                *[os.path.join(out_dir, b, M.BLOCKS_DIR) for b in batch_dirs]
+            )
+            .withColumn(
+                "_batch",
+                F.regexp_extract(F.input_file_name(), r"batch=(\d+)/", 1),
+            )
+            .withColumn(
+                "part_id",
+                F.regexp_extract(
+                    F.input_file_name(), r"part_id=(-?\d+)/", 1
+                ).cast("int"),
+            )
+        )
+    else:
+        bdf = spark.read.parquet(os.path.join(out_dir, M.BLOCKS_DIR))
     if parts is not None:
         bdf = bdf.filter(F.col("part_id").isin(parts))
     if columns is not None:
@@ -78,15 +117,19 @@ def decode_blocks(
         )
 
     def _decode_one(column, payload, params, codec, validity, n, null_count):
+        # payload/validity arrive as buffer-protocol objects (zero-copy
+        # memoryviews from the arrow engine, bytes from the pandas one);
+        # every codec decoder reads them via np.frombuffer/slicing, so no
+        # bytes() copy is made here
         values = decode_block(
-            bytes(payload),
+            payload,
             json.loads(params),
             n - int(null_count),
             _kernel_dtype_of(types[column]),
             codec,
         )
         arr = framing.from_kernel(
-            values, types[column], bytes(validity), n, int(null_count)
+            values, types[column], validity, n, int(null_count)
         )
         if len(arr) != n:
             raise ValueError(
@@ -115,7 +158,10 @@ def decode_blocks(
                 )
             return pd.DataFrame({c: out[c] for c in ordered})
 
-        return bdf.groupBy("part_id", "block_id").applyInPandas(
+        gcols = (["_batch"] if stream_batches else []) + [
+            "part_id", "block_id"
+        ]
+        return bdf.groupBy(*gcols).applyInPandas(
             decode_group, schema=out_schema
         )
     if engine != "arrow":
@@ -129,25 +175,30 @@ def decode_blocks(
         [(c, framing._parse_type(types[c])) for c in ordered]
     )
 
-    group_cols = ["part_id", "block_id", "column", "codec", "params",
-                  "payload", "validity", "value_count", "null_count"]
+    key_cols = (["_batch"] if stream_batches else []) + [
+        "part_id", "block_id"
+    ]
+    meta_cols = key_cols + [
+        "column", "codec", "params", "value_count", "null_count"
+    ]
+    group_cols = meta_cols + ["payload", "validity"]
 
     def decode_stream(batches):
-        buf: list[dict] = []
+        buf: list[tuple] = []
         cur = None
 
         def flush():
-            n = int(buf[0]["value_count"])
+            n = int(buf[0][0]["value_count"])
             out = {}
-            for r in buf:
+            for r, payload, validity in buf:
                 if int(r["value_count"]) != n:
                     raise ValueError(
                         "corrupt block group: value_count mismatch across "
-                        f"columns (part={cur[0]} block={cur[1]})"
+                        f"columns (group={cur})"
                     )
                 out[r["column"]] = _decode_one(
-                    r["column"], r["payload"], r["params"], r["codec"],
-                    r["validity"], n, r["null_count"],
+                    r["column"], payload, r["params"], r["codec"],
+                    validity, n, r["null_count"],
                 )
             if set(out) != set(ordered):
                 raise ValueError(
@@ -159,21 +210,63 @@ def decode_blocks(
             )
 
         for batch in batches:
-            rows = batch.select(group_cols).to_pylist()
-            for r in rows:
-                key = (r["part_id"], r["block_id"])
+            # metadata fields materialize as (small) python objects; the
+            # payload/validity bytes stay ZERO-COPY memoryviews over the
+            # batch's Arrow buffers — per-row bytes() copies of the
+            # payload column would re-stream every encoded byte through
+            # python object allocation (round-3 advice item)
+            rows = batch.select(meta_cols).to_pylist()
+            pay = _bin_views(batch.column("payload"))
+            val = _bin_views(batch.column("validity"))
+            for j, r in enumerate(rows):
+                key = tuple(r[c] for c in key_cols)
                 if key != cur and buf:
                     yield flush()
                     buf = []
                 cur = key
-                buf.append(r)
+                buf.append((r, pay(j), val(j)))
         if buf:
             yield flush()
 
     grouped = bdf.select(*group_cols).repartition(
-        "part_id", "block_id"
-    ).sortWithinPartitions("part_id", "block_id")
+        *key_cols
+    ).sortWithinPartitions(*key_cols)
     return grouped.mapInArrow(decode_stream, out_schema)
+
+
+def _bin_views(arr):
+    """Zero-copy element accessor for a pa.[large_]binary array: j ->
+    memoryview over the shared data buffer (None for null elements)."""
+    import numpy as np
+    import pyarrow as pa
+
+    bufs = arr.buffers()
+    wide = pa.types.is_large_binary(arr.type) or pa.types.is_large_string(
+        arr.type
+    )
+    offs = np.frombuffer(bufs[1], dtype=np.int64 if wide else np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    # cast to unsigned bytes: pa.Buffer exports format 'b' (signed), under
+    # which mv[i] yields NEGATIVE ints for bytes >= 0x80 — silently
+    # corrupting any decoder that indexes header bytes (FSST's symbol
+    # lengths).  'B' restores bytes-like indexing semantics.
+    data = (
+        memoryview(bufs[2]).cast("B")
+        if bufs[2] is not None
+        else memoryview(b"")
+    )
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+    else:
+        valid = None
+
+    def get(j: int):
+        if valid is not None and not valid[j]:
+            return None
+        return data[offs[j] : offs[j + 1]]
+
+    return get
 
 
 def scan_blocks(

@@ -100,8 +100,15 @@ def _split_hot(
     retries, unlike rand().
 
     Returns (cold_with_part_id, hot_with_part_id | None, hot_parts).
-    Cold part ids are the input split ids; hot part ids live in
-    ``[n_input, n_input + hot_parts)``.
+    Cold part ids are the input split ids (>= 0); hot part ids live in
+    ``[-hot_parts, -1]`` — NEGATIVE, so they are disjoint from any cold
+    id by sign, structurally: the cold branch's spark_partition_id() is
+    evaluated inside the write job, and if AQE or input re-listing ever
+    changed the physical partition count between planning and write, an
+    offset-based hot range could collide with a cold id and the post-job
+    hot-dir move would silently replace cold data.  The sign split makes
+    that impossible and, as a bonus, hot ids are a pure function of table
+    content (no dependence on the input split count).
     """
     kexpr = _key_expr(key_col)
     # hot detection runs on a 5% sample when the table is large enough
@@ -134,7 +141,6 @@ def _split_hot(
             {"_k": r["_k"], "count": int(r["count"] / frac)}
             for r in hot_rows
         ]
-    n_input = df.rdd.getNumPartitions()
     if not hot_rows:
         return df.withColumn("part_id", F.spark_partition_id()), None, 0
 
@@ -166,9 +172,11 @@ def _split_hot(
     )
     row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
     part = (
-        F.lit(n_input)
-        + F.col("_base")
-        + F.pmod(row_hash, F.col("_buckets").cast("long"))
+        -(
+            F.lit(1)
+            + F.col("_base")
+            + F.pmod(row_hash, F.col("_buckets").cast("long"))
+        )
     ).cast("int")
     hot = (
         marked.filter(F.col("_base").isNotNull())
@@ -234,9 +242,13 @@ def encode_dataframe(
     else:
         raise ValueError(f"unknown partitioning mode {partitioning!r}")
     if not resume:
-        # fresh encode = fresh lineage (prevents duplicate part rows when
-        # re-encoding an existing output dir from scratch)
+        # fresh encode = fresh lineage + fresh data dirs (prevents stale
+        # partition dirs from a previous layout leaking into decode)
+        import shutil as _sh
+
         ckpt.clear_checkpoint(out_dir)
+        _sh.rmtree(os.path.join(out_dir, M.BLOCKS_DIR), ignore_errors=True)
+        _sh.rmtree(os.path.join(out_dir, M.MANIFEST_DIR), ignore_errors=True)
     ckpt.check_partitioning_meta(
         out_dir,
         {
@@ -247,10 +259,6 @@ def encode_dataframe(
         },
         resume=resume,
     )
-    # dynamic partition overwrite only when resuming: a fresh encode must
-    # truncate the whole blocks/manifest dirs, or partitions absent from
-    # this run would survive and leak stale rows into decode
-    overwrite_mode = "dynamic" if resume else "static"
     done = ckpt.done_parts(spark, out_dir) if resume else None
     n_done = 0
     if done is not None:
@@ -274,50 +282,50 @@ def encode_dataframe(
                 "part_id", *sort_cols
             )
 
-    encode_fn = _make_encoder(source_cols, block_rows, block_bytes, key_col)
+    # ONE JOB per branch (round-4: the old three-pass flow — blocks write,
+    # then a blocks re-scan for the manifest aggregation, then the
+    # checkpoint — carried a ~3 s fixed tail that alone bent the 8->32
+    # scaling curve from ~1.0 to 0.61).  Each task now writes its own
+    # partition's blocks AND manifest parquet directly (Iceberg style:
+    # data files land task-side, VISIBILITY is governed by the metadata
+    # commit — a partition exists iff its checkpoint row is committed),
+    # and the job's Spark output is one tiny summary row per partition
+    # from which the driver commits the checkpoint.  The payload bytes
+    # never round-trip through the JVM parquet writer at all.
     blocks_dir = os.path.join(out_dir, M.BLOCKS_DIR)
+    manifest_dir = os.path.join(out_dir, M.MANIFEST_DIR)
+    encode_fn = _make_encoder(
+        source_cols, block_rows, block_bytes, key_col, blocks_dir,
+        manifest_dir,
+    )
 
-    def _write_blocks(branch: DataFrame, dest: str, mode: str) -> None:
-        (
-            branch.mapInArrow(encode_fn, M.BLOCK_SCHEMA)
-            .write.mode("overwrite")
-            .partitionBy("part_id")
-            .option("compression", "none")
-            .option("partitionOverwriteMode", mode)
-            .parquet(dest)
-        )
+    def _run_branch(branch: DataFrame) -> list:
+        return branch.mapInArrow(encode_fn, SUMMARY_SCHEMA).collect()
 
     if hot is None:
-        _write_blocks(work, blocks_dir, overwrite_mode)
+        summaries = _run_branch(work)
     else:
         # TWO CONCURRENT JOBS: inside one union job Spark must finish the
         # hot branch's shuffle-map stage before ANY result-stage task
         # starts, so the zero-shuffle cold encode would sit hostage to
         # the hot shuffle (measured ~2x wall).  Submitting the branches
         # from two driver threads lets the cold encode run while the hot
-        # shuffle maps/reduces; the hot output lands in a staging dir and
-        # its disjoint part_id dirs are moved in afterwards (rename on a
-        # filesystem; an object-store deployment would commit both
-        # prefixes to the table catalog instead).
-        import shutil as _shutil
+        # shuffle maps/reduces.  No staging dir is needed: hot part ids
+        # are negative, cold ids non-negative, so the two jobs write
+        # disjoint part_id directories.
         import threading
 
-        hot_tmp = blocks_dir + "_hot_tmp"
-        _shutil.rmtree(hot_tmp, ignore_errors=True)
+        results: dict[str, list] = {}
         errors: list[BaseException] = []
 
-        def _run(fn, *a):
+        def _run(name, branch):
             try:
-                fn(*a)
+                results[name] = _run_branch(branch)
             except BaseException as exc:  # surfaced after join
                 errors.append(exc)
 
-        t_cold = threading.Thread(
-            target=_run, args=(_write_blocks, work, blocks_dir, overwrite_mode)
-        )
-        t_hot = threading.Thread(
-            target=_run, args=(_write_blocks, hot, hot_tmp, "static")
-        )
+        t_cold = threading.Thread(target=_run, args=("cold", work))
+        t_hot = threading.Thread(target=_run, args=("hot", hot))
         # hot FIRST: FIFO scheduling favors the earlier job, and the hot
         # job owns the longer critical path (its reduce stage cannot start
         # until its shuffle-map stage completes); the cold job's
@@ -328,70 +336,26 @@ def encode_dataframe(
         t_cold.join()
         if errors:
             raise errors[0]
-        for d in os.listdir(hot_tmp):
-            if d.startswith("part_id="):
-                dest = os.path.join(blocks_dir, d)
-                _shutil.rmtree(dest, ignore_errors=True)
-                os.rename(os.path.join(hot_tmp, d), dest)
-        _shutil.rmtree(hot_tmp, ignore_errors=True)
+        summaries = results.get("cold", []) + results.get("hot", [])
 
-    # manifest + checkpoint from block METADATA only (payload pruned away)
-    bmeta = spark.read.parquet(os.path.join(out_dir, M.BLOCKS_DIR)).select(
-        "part_id", "block_id", "col_idx", "column", "logical_type", "codec",
-        "value_count", "null_count", "raw_bytes", "encoded_bytes",
-        "encode_ns", "fingerprint",
+    ckpt_rows = sorted(
+        (
+            {
+                "part_id": r["part_id"],
+                "status": "done",
+                "n_rows": r["n_rows"],
+                "n_blocks": r["n_blocks"],
+                "n_columns": r["n_columns"],
+                "raw_bytes": r["raw_bytes"],
+                "encoded_bytes": r["encoded_bytes"],
+                "fingerprint": r["fingerprint"],
+                "encode_ns": r["encode_ns"],
+            }
+            for r in summaries
+        ),
+        key=lambda r: r["part_id"],
     )
-    if done is not None and n_done:
-        bmeta = bmeta.join(F.broadcast(done), "part_id", "left_anti")
-
-    per_codec = bmeta.groupBy(
-        "part_id", "col_idx", "column", "logical_type", "codec"
-    ).agg(
-        F.count("*").alias("cnt"),
-        F.sum("value_count").alias("n_values"),
-        F.sum("null_count").alias("null_count"),
-        F.sum("raw_bytes").alias("raw_bytes"),
-        F.sum("encoded_bytes").alias("encoded_bytes"),
-        F.max("fingerprint").alias("fingerprint"),
-        F.max("encode_ns").alias("encode_ns"),
-    )
-    man = (
-        per_codec.groupBy("part_id", "col_idx", "column", "logical_type")
-        .agg(
-            F.sum("cnt").alias("n_blocks"),
-            F.sum("n_values").alias("n_values"),
-            F.sum("null_count").alias("null_count"),
-            F.sum("raw_bytes").alias("raw_bytes"),
-            F.sum("encoded_bytes").alias("encoded_bytes"),
-            F.to_json(
-                F.map_from_entries(
-                    F.array_sort(F.collect_list(F.struct("codec", "cnt")))
-                )
-            ).alias("codecs"),
-            F.max("fingerprint").alias("fingerprint"),
-            F.max("encode_ns").alias("encode_ns"),
-        )
-    )
-    # manifest written fully distributed in ONE job (never collected: at
-    # 100 TB it is parts x columns rows); the checkpoint/lineage rows are
-    # then derived driver-side from the freshly written manifest — a tiny
-    # pyarrow read, no further Spark jobs (catalog-commit style)
-    (
-        man.write.mode("overwrite")
-        .option("partitionOverwriteMode", overwrite_mode)
-        .partitionBy("part_id")
-        .parquet(os.path.join(out_dir, M.MANIFEST_DIR))
-    )
-    # on resume the manifest dir still holds previously-done partitions
-    # (dynamic overwrite preserves them); exclude those so the checkpoint
-    # commit records only THIS run's partitions
-    done_ids = {r["part_id"] for r in done.collect()} if n_done else None
-    man_rows = _read_manifest_rows(
-        os.path.join(out_dir, M.MANIFEST_DIR), exclude_parts=done_ids
-    )
-    ckpt.commit_checkpoint_rows(
-        ckpt.checkpoint_rows_from_manifest(man_rows), out_dir
-    )
+    ckpt.commit_checkpoint_rows(ckpt_rows, out_dir)
 
     if done is not None:
         done.unpersist()
@@ -399,18 +363,42 @@ def encode_dataframe(
     return {**totals, "skipped_parts": n_done}
 
 
-def _read_manifest_rows(path: str, exclude_parts: set | None = None) -> list[dict]:
-    """Driver-side read of the (tiny, metadata-only) manifest table."""
-    import pyarrow.dataset as ds
+SUMMARY_SCHEMA = (
+    "part_id int, n_rows long, n_blocks long, n_columns int, "
+    "raw_bytes long, encoded_bytes long, fingerprint long, encode_ns long"
+)
 
-    table = ds.dataset(path, format="parquet", partitioning="hive").to_table()
-    rows = table.to_pylist()
-    if exclude_parts:
-        rows = [r for r in rows if r["part_id"] not in exclude_parts]
-    return rows
+# parquet column statistics are written for metadata columns only: payload
+# min/max would just copy (truncated) codec bytes into the footer
+_BLOCK_STAT_COLS = [
+    "block_id", "col_idx", "column", "logical_type", "codec", "value_count",
+    "null_count", "raw_bytes", "encoded_bytes", "encode_ns", "fingerprint",
+    "zmin_i", "zmax_i", "zmin_d", "zmax_d",
+]
 
 
-def _make_encoder(source_cols, block_rows, block_bytes, key_col):
+def _atomic_write(table: pa.Table, dest: str, stat_cols=None) -> None:
+    """Task-side parquet commit: write to a dot-prefixed temp (invisible
+    to Spark and pyarrow dataset listings), then os.replace — a retried
+    or speculative task attempt re-produces identical bytes (the encode
+    is deterministic) so last-replace-wins is safe.  On an object store
+    this is a single PUT."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    tmp = os.path.join(
+        os.path.dirname(dest), f".{os.path.basename(dest)}.{os.getpid()}.tmp"
+    )
+    pq.write_table(
+        table, tmp, compression="NONE",
+        write_statistics=stat_cols if stat_cols is not None else True,
+    )
+    os.replace(tmp, dest)
+
+
+def _make_encoder(
+    source_cols, block_rows, block_bytes, key_col, blocks_dir, manifest_dir
+):
     """Build the mapInArrow kernel. Pure function of partition content."""
 
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -472,33 +460,104 @@ def _make_encoder(source_cols, block_rows, block_bytes, key_col):
                 rows["zmax_d"].append(zd_hi)
         n = len(rows["block_id"])
         encode_ns = time.monotonic_ns() - t0
+        part_dir = f"part_id={pid}"
+        blocks_tbl = pa.table(
+            {
+                "block_id": pa.array(rows["block_id"], type=pa.int32()),
+                "col_idx": pa.array(rows["col_idx"], type=pa.int32()),
+                "column": pa.array(rows["column"], type=pa.string()),
+                "logical_type": pa.array(rows["logical_type"], type=pa.string()),
+                "codec": pa.array(rows["codec"], type=pa.string()),
+                "params": pa.array(rows["params"], type=pa.string()),
+                "payload": pa.array(rows["payload"], type=pa.binary()),
+                "validity": pa.array(rows["validity"], type=pa.binary()),
+                "value_count": pa.array(rows["value_count"], type=pa.int64()),
+                "null_count": pa.array(rows["null_count"], type=pa.int64()),
+                "raw_bytes": pa.array(rows["raw_bytes"], type=pa.int64()),
+                "encoded_bytes": pa.array(rows["encoded_bytes"], type=pa.int64()),
+                "encode_ns": pa.array([encode_ns] * n, type=pa.int64()),
+                "fingerprint": pa.array([fp] * n, type=pa.int64()),
+                "zmin_i": pa.array(rows["zmin_i"], type=pa.int64()),
+                "zmax_i": pa.array(rows["zmax_i"], type=pa.int64()),
+                "zmin_d": pa.array(rows["zmin_d"], type=pa.float64()),
+                "zmax_d": pa.array(rows["zmax_d"], type=pa.float64()),
+            }
+        )
+        _atomic_write(
+            blocks_tbl, os.path.join(blocks_dir, part_dir, "data.parquet"),
+            stat_cols=_BLOCK_STAT_COLS,
+        )
+
+        # per-(partition, column) manifest rows, aggregated in place — the
+        # kernel already holds the whole partition, so no second Spark
+        # job / blocks re-scan is ever needed
+        man = {}
+        for i in range(n):
+            key = rows["col_idx"][i]
+            m = man.setdefault(
+                key,
+                {
+                    "col_idx": key,
+                    "column": rows["column"][i],
+                    "logical_type": rows["logical_type"][i],
+                    "n_blocks": 0,
+                    "n_values": 0,
+                    "null_count": 0,
+                    "raw_bytes": 0,
+                    "encoded_bytes": 0,
+                    "codecs": {},
+                },
+            )
+            m["n_blocks"] += 1
+            m["n_values"] += rows["value_count"][i]
+            m["null_count"] += rows["null_count"][i]
+            m["raw_bytes"] += rows["raw_bytes"][i]
+            m["encoded_bytes"] += rows["encoded_bytes"][i]
+            c = rows["codec"][i]
+            m["codecs"][c] = m["codecs"].get(c, 0) + 1
+        man_rows = [man[k] for k in sorted(man)]
+        man_tbl = pa.table(
+            {
+                "col_idx": pa.array([m["col_idx"] for m in man_rows], type=pa.int32()),
+                "column": pa.array([m["column"] for m in man_rows], type=pa.string()),
+                "logical_type": pa.array([m["logical_type"] for m in man_rows], type=pa.string()),
+                "n_blocks": pa.array([m["n_blocks"] for m in man_rows], type=pa.int64()),
+                "n_values": pa.array([m["n_values"] for m in man_rows], type=pa.int64()),
+                "null_count": pa.array([m["null_count"] for m in man_rows], type=pa.int64()),
+                "raw_bytes": pa.array([m["raw_bytes"] for m in man_rows], type=pa.int64()),
+                "encoded_bytes": pa.array([m["encoded_bytes"] for m in man_rows], type=pa.int64()),
+                "codecs": pa.array(
+                    [
+                        json.dumps(
+                            dict(sorted(m["codecs"].items())),
+                            separators=(",", ":"),
+                        )
+                        for m in man_rows
+                    ],
+                    type=pa.string(),
+                ),
+                "fingerprint": pa.array([fp] * len(man_rows), type=pa.int64()),
+                "encode_ns": pa.array([encode_ns] * len(man_rows), type=pa.int64()),
+            }
+        )
+        _atomic_write(
+            man_tbl, os.path.join(manifest_dir, part_dir, "data.parquet")
+        )
+
         yield pa.RecordBatch.from_arrays(
             [
-                pa.array([pid] * n, type=pa.int32()),
-                pa.array(rows["block_id"], type=pa.int32()),
-                pa.array(rows["col_idx"], type=pa.int32()),
-                pa.array(rows["column"], type=pa.string()),
-                pa.array(rows["logical_type"], type=pa.string()),
-                pa.array(rows["codec"], type=pa.string()),
-                pa.array(rows["params"], type=pa.string()),
-                pa.array(rows["payload"], type=pa.binary()),
-                pa.array(rows["validity"], type=pa.binary()),
-                pa.array(rows["value_count"], type=pa.int64()),
-                pa.array(rows["null_count"], type=pa.int64()),
-                pa.array(rows["raw_bytes"], type=pa.int64()),
-                pa.array(rows["encoded_bytes"], type=pa.int64()),
-                pa.array([encode_ns] * n, type=pa.int64()),
-                pa.array([fp] * n, type=pa.int64()),
-                pa.array(rows["zmin_i"], type=pa.int64()),
-                pa.array(rows["zmax_i"], type=pa.int64()),
-                pa.array(rows["zmin_d"], type=pa.float64()),
-                pa.array(rows["zmax_d"], type=pa.float64()),
+                pa.array([pid], type=pa.int32()),
+                pa.array([man_rows[0]["n_values"] if man_rows else 0], type=pa.int64()),
+                pa.array([man_rows[0]["n_blocks"] if man_rows else 0], type=pa.int64()),
+                pa.array([len(man_rows)], type=pa.int32()),
+                pa.array([sum(m["raw_bytes"] for m in man_rows)], type=pa.int64()),
+                pa.array([sum(m["encoded_bytes"] for m in man_rows)], type=pa.int64()),
+                pa.array([fp], type=pa.int64()),
+                pa.array([encode_ns], type=pa.int64()),
             ],
             names=[
-                "part_id", "block_id", "col_idx", "column", "logical_type",
-                "codec", "params", "payload", "validity", "value_count",
-                "null_count", "raw_bytes", "encoded_bytes", "encode_ns",
-                "fingerprint", "zmin_i", "zmax_i", "zmin_d", "zmax_d",
+                "part_id", "n_rows", "n_blocks", "n_columns", "raw_bytes",
+                "encoded_bytes", "fingerprint", "encode_ns",
             ],
         )
 

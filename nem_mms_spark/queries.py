@@ -430,36 +430,60 @@ def ann_lsh_recall(spark, sf_dir):
     )
 
 
+_PAIR_BANDS = 8
+_PAIR_BAND_BITS = 6
+_PAIR_SEED = 11
+
+
 def embedding_cosine_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup primitive: the most-similar vector pairs
-    by exact cosine (the verification stage of embedding near-dup).  The
-    synthetic embeddings are random — no pair exceeds ~0.51 — so instead
-    of a vacuous threshold filter the query returns the exact top-20
-    pairs, fully oracle-checked.  At 10^12-doc scale the candidate pairs
-    come from the LSH bucket join (lsh_bucket_col) and only candidates
-    pay the exact cosine; here the candidate set is the full self-join.
-    """
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    """Embedding-cosine near-dup, SCALE PATH (round-3 verdict item 4):
+    candidates come from the banded sign-LSH equi-join (collide in any of
+    8 bands of 6 hyperplane sign bits), and only candidates pay the exact
+    fold cosine — top-20 of the candidate set.  Pair work is
+    O(sum bucket^2 per band), not the all-pairs O(n^2)
+    BroadcastNestedLoopJoin this query used to run.  The oracle replicates
+    the bands, the candidate join, and the cosine ordering bit-exactly in
+    SQL; the recall of this candidate set vs the exact all-pairs top-20 is
+    contract-checked by ``embedding_pairs_recall``."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = similarity.banded_candidate_pairs(
+        emb, n_bands=_PAIR_BANDS, band_bits=_PAIR_BAND_BITS, seed=_PAIR_SEED
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    dot = similarity._dot(F.col("a.v"), F.col("b.v"))
-    na = similarity.l2_norm(F.col("a.v"))
-    nb = similarity.l2_norm(F.col("b.v"))
-    cos = dot / (na * nb)
-    pairs = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
-        .orderBy(F.desc("cosine"), "vec_a", "vec_b")
-        .limit(20)
+    return similarity.cosine_pairs_topk(emb, cand, k=20)
+
+
+def embedding_pairs_recall(spark, sf_dir):
+    """Recall contract for the banded-LSH near-dup pairs: the LSH top-20
+    must contain at least ``recall_floor`` of the EXACT all-pairs top-20
+    (computed by the distributed blocked-Gram baseline — one BLAS matmul
+    per block pair, local top-k, never an interpreted per-pair fold).
+
+    Floor calibration: the synthetic embeddings are random (top pair
+    cosine ~0.5), so band collision probability per pair is
+    (1 - theta/pi)^6 ~= 0.09 and the 8-band union recalls ~half of the
+    true top-20 — measured overlap 12/20 at sf0.01 (the oracle scale),
+    11/20 at sf0.1, 6/20 at sf0.001 — while scanning only ~13% of pairs
+    (a random 13% pair sample would recall ~2.6/20).  floor=6 keeps 2x
+    margin at the scales the driver checks; clustered real-world
+    embeddings recall far more."""
+    emb = _t(spark, sf_dir, "embeddings")
+    floor = 6
+    exact = similarity.exact_pairs_topk(emb, k=20).select("vec_a", "vec_b")
+    cand = similarity.banded_candidate_pairs(
+        emb, n_bands=_PAIR_BANDS, band_bits=_PAIR_BAND_BITS, seed=_PAIR_SEED
     )
-    return pairs.select(
-        "vec_a", "vec_b", F.round("cosine", 4).alias("cosine")
+    lsh = similarity.cosine_pairs_topk(emb, cand, k=20).select(
+        "vec_a", "vec_b"
+    )
+    ov = exact.join(lsh, ["vec_a", "vec_b"]).agg(
+        F.count("*").alias("n_overlap")
+    )
+    return ov.select(
+        F.lit(20).cast("long").alias("k"),
+        F.lit(floor).cast("long").alias("recall_floor"),
+        F.greatest(F.lit(0).cast("long"), F.lit(floor) - F.col("n_overlap"))
+        .cast("long")
+        .alias("n_below_floor"),
     )
 
 
@@ -613,6 +637,55 @@ def _simhash_sql() -> str:
     """
 
 
+def _banded_pairs_sql() -> str:
+    """DuckDB replication of the banded-LSH near-dup pair query: the
+    seeded hyperplanes are inlined as float64 literals, band signatures
+    are the same weighted sign sums (bit j of band g = plane g*bits+j,
+    weight 1<<j), the candidate set is the same any-band equi-join, and
+    the exact fold cosine (list_dot_product) orders the final top-20
+    identically to Spark's F.aggregate fold."""
+    dim = 64
+    planes = similarity.hyperplanes(
+        dim, _PAIR_BANDS * _PAIR_BAND_BITS, _PAIR_SEED
+    )
+
+    def sig_expr(g: int) -> str:
+        return "\n                 + ".join(
+            "CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(float(x)) for x in planes[g * _PAIR_BAND_BITS + j])
+            + f"]) > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(_PAIR_BAND_BITS)
+        )
+
+    band_selects = "\n            UNION ALL\n            ".join(
+        f"SELECT vec_id, {g} AS band, ({sig_expr(g)}) AS sig FROM e"
+        for g in range(_PAIR_BANDS)
+    )
+    cos = (
+        "list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v))"
+        " * sqrt(list_dot_product(eb.v, eb.v)))"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        sigs AS (
+            {band_selects}
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM sigs a JOIN sigs b
+              ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, round({cos}, 4) AS cosine
+        FROM cand
+        JOIN e ea ON cand.vec_a = ea.vec_id
+        JOIN e eb ON cand.vec_b = eb.vec_id
+        ORDER BY {cos} DESC, vec_a, vec_b
+        LIMIT 20
+    """
+
+
 def _ann_lsh_sql(
     n_planes: int = 6, dim: int = 64, seed: int = 7, n_probes: int = 4
 ) -> str:
@@ -692,6 +765,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_lsh_recall": ann_lsh_recall,
     "embedding_cosine_pairs": embedding_cosine_pairs,
+    "embedding_pairs_recall": embedding_pairs_recall,
     "multimodal_image_meta": multimodal_image_meta,
     "zonemap_range_scan": zonemap_range_scan,
     "encode_roundtrip_metrics": encode_roundtrip_metrics,
@@ -843,25 +917,15 @@ ORACLE_SQL = {
     """,
     "simhash_fingerprints": _simhash_sql(),
     "ann_lsh_topk": _ann_lsh_sql(),
-    "embedding_cosine_pairs": """
-        WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v))
-                        * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
-        FROM e a, e b
-        WHERE a.vec_id < b.vec_id
-        ORDER BY list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(b.v, b.v))) DESC,
-                 a.vec_id, b.vec_id
-        LIMIT 20
-    """,
+    "embedding_cosine_pairs": _banded_pairs_sql(),
     "ann_lsh_recall": """
         SELECT CAST(10 AS BIGINT) AS k,
                CAST(5 AS BIGINT) AS recall_floor,
+               CAST(0 AS BIGINT) AS n_below_floor
+    """,
+    "embedding_pairs_recall": """
+        SELECT CAST(20 AS BIGINT) AS k,
+               CAST(6 AS BIGINT) AS recall_floor,
                CAST(0 AS BIGINT) AS n_below_floor
     """,
     "multimodal_image_meta": """

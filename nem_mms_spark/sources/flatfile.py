@@ -93,23 +93,47 @@ def _expand_blob(name: str, blob: bytes):
     # other extensions: skipped (main.rs:187)
 
 
+_MAX_CONTINUED_LINES = 64
+
+
 def _split_records(text: str):
     """Quote-aware record extraction: a newline terminates a record only
     when all quotes so far are balanced (RFC-4180 — a quoted field may
     span physical lines).  Doubled quotes contribute 2 to the count, so
-    escaped quotes keep the parity correct."""
-    buf: str | None = None
+    escaped quotes keep the parity correct.
+
+    Continuation is BOUNDED (_MAX_CONTINUED_LINES physical lines): a
+    stray unpaired quote on a malformed line would otherwise swallow the
+    entire remainder of the file into one giant record, turning one bad
+    line into a whole-file parse failure; at the bound the buffered
+    lines are emitted individually so the error stays localized to the
+    offending record.  Yielded indices are RECORD numbers, not physical
+    line numbers (a multi-line quoted record advances the index by 1) —
+    downstream diagnostics label them accordingly."""
+    buf: list[str] | None = None
     for part in text.split("\n"):
         if part.endswith("\r"):
             part = part[:-1]
-        cur = part if buf is None else f"{buf}\n{part}"
-        if cur.count('"') % 2 == 0:
-            buf = None
-            yield cur
+        if buf is None:
+            if part.count('"') % 2 == 0:
+                yield part
+            else:
+                buf = [part]
         else:
-            buf = cur
+            buf.append(part)
+            if part.count('"') % 2 == 1:
+                yield "\n".join(buf)
+                buf = None
+            elif len(buf) > _MAX_CONTINUED_LINES:
+                # localized failure: flush the run-away record line by
+                # line (the opener will fail to parse; later lines parse
+                # on their own merits)
+                yield from buf
+                buf = None
     if buf is not None:
-        yield buf  # unbalanced quote at EOF: emit verbatim (parse errors surface downstream)
+        # unbalanced quote at EOF: emit lines verbatim (parse errors
+        # surface downstream on the offending line only)
+        yield from buf
 
 
 # split on commas OUTSIDE quoted fields: a comma is a delimiter iff the

@@ -46,11 +46,15 @@ def test_hybrid_split_shuffles_only_hot(spark, pages):
     target = N // P
     sizes = [r["count"] for r in hot.groupBy("part_id").count().collect()]
     assert max(sizes) <= target * 1.05, sizes
-    # hot part ids live beyond the input split range
-    n_input = pages.rdd.getNumPartitions()
+    # hot part ids are NEGATIVE — disjoint from cold spark_partition_id()
+    # ids by sign, structurally collision-free with the cold branch
     ids = [r["part_id"] for r in hot.select("part_id").distinct().collect()]
-    assert min(ids) >= n_input
-    assert max(ids) < n_input + hot_parts
+    assert max(ids) <= -1
+    assert min(ids) >= -hot_parts
+    cold_ids = [
+        r["part_id"] for r in cold.select("part_id").distinct().collect()
+    ]
+    assert min(cold_ids) >= 0
 
 
 def test_hybrid_plan_has_no_cold_exchange(spark, pages):
