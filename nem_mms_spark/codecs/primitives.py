@@ -42,20 +42,28 @@ def pack_uints(values: np.ndarray, width: int) -> bytes:
     m = (n + 63) // 64
     if n != m * 64:
         v = np.concatenate([v, np.zeros(m * 64 - n, dtype=np.uint64)])
+    # LANE HALVING: adjacent lanes merge pairwise (lo | hi << w), which
+    # preserves the LSB-first layout exactly, until each lane is > 32
+    # bits; log2 dense passes replace most of the old 64 strided
+    # shift/OR passes (the kernel's dominant memory traffic — round-3
+    # verdict: the 64-pass loop re-streamed the chunk per pass with a
+    # 512-byte access stride)
     lanes = v.reshape(m, 64)
-    words = np.zeros((m, width), dtype="<u8")
-    # cache-blocked: the 64 lane passes re-stream the input, so work in
-    # row chunks small enough (64K values = 512 KB) that the chunk stays
-    # in L2 across all 64 passes instead of hitting DRAM each pass
+    w = width
+    while w <= 32:
+        lanes = lanes[:, 0::2] | (lanes[:, 1::2] << np.uint64(w))
+        w *= 2
+    nl = lanes.shape[1]  # nl * w == 64 * width, a whole number of words
+    words = np.zeros((m, (64 * width) >> 6), dtype="<u8")
     for r0 in range(0, m, _PACK_ROWS_PER_CHUNK):
         lb = lanes[r0 : r0 + _PACK_ROWS_PER_CHUNK]
         wb = words[r0 : r0 + _PACK_ROWS_PER_CHUNK]
-        for i in range(64):
-            bitpos = i * width
+        for i in range(nl):
+            bitpos = i * w
             k, s = bitpos >> 6, bitpos & 63
             col = lb[:, i]
             wb[:, k] |= col << np.uint64(s)
-            if s + width > 64:
+            if s + w > 64:
                 # high bits spill into the next word; (>> 63-s >> 1) is
                 # v >> (64-s) without an undefined 64-bit shift at s == 0.
                 wb[:, k + 1] |= (col >> np.uint64(63 - s)) >> np.uint64(1)
@@ -74,19 +82,33 @@ def unpack_uints(payload: bytes, width: int, count: int) -> np.ndarray:
     if len(buf) < need:
         buf = buf.ljust(need, b"\0")
     words = np.frombuffer(buf, dtype="<u8", count=m * width).reshape(m, width)
-    out = np.empty((m, 64), dtype=np.uint64)
-    mask = np.uint64((1 << width) - 1)
-    # cache-blocked for the same reason as pack_uints
+    # inverse of the pack-side lane halving: extract the WIDE lanes
+    # (few strided passes), then split pairwise back down to `width`
+    # with log2 dense passes
+    w = width
+    while w <= 32:
+        w *= 2
+    nl = (64 * width) // w
+    wide = np.empty((m, nl), dtype=np.uint64)
+    mask = np.uint64((1 << w) - 1) if w < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
     for r0 in range(0, m, _PACK_ROWS_PER_CHUNK):
         wb = words[r0 : r0 + _PACK_ROWS_PER_CHUNK]
-        ob = out[r0 : r0 + _PACK_ROWS_PER_CHUNK]
-        for i in range(64):
-            bitpos = i * width
+        ob = wide[r0 : r0 + _PACK_ROWS_PER_CHUNK]
+        for i in range(nl):
+            bitpos = i * w
             k, s = bitpos >> 6, bitpos & 63
             val = wb[:, k] >> np.uint64(s)
-            if s + width > 64:
+            if s + w > 64:
                 val = val | (wb[:, k + 1] << np.uint64(64 - s))
             ob[:, i] = val & mask
+    out = wide
+    while w > width:
+        w //= 2
+        lo_mask = np.uint64((1 << w) - 1)
+        split = np.empty((m, out.shape[1] * 2), dtype=np.uint64)
+        split[:, 0::2] = out & lo_mask
+        split[:, 1::2] = out >> np.uint64(w)
+        out = split
     return out.reshape(-1)[:count]
 
 
@@ -129,8 +151,11 @@ def decode_offsets_data(
     lengths = unpack_uints(payload[:ln], params["lw"], count).astype(np.int64)
     offsets = np.zeros(count + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
+    # zero-copy view into the payload (callers only read; the view keeps
+    # the payload buffer alive) — the old defensive .copy() re-streamed
+    # every PLAIN/dict-value byte
     data = np.frombuffer(payload, dtype=np.uint8, offset=ln)
-    return data.copy(), offsets
+    return data, offsets
 
 
 def run_ends(values: np.ndarray) -> np.ndarray:

@@ -88,7 +88,7 @@ def encode_block(values, dtype: str, codec: str, **kw) -> tuple[bytes, dict]:
     if codec == PLAIN:
         return basic.encode_plain_numeric(arr)
     if codec == DICT:
-        return basic.encode_dict_numeric(arr)
+        return basic.encode_dict_numeric(arr, **kw)
     if codec == RLE:
         return basic.encode_rle_numeric(arr)
     if codec == FOR_BITPACK:

@@ -59,8 +59,8 @@ def factorize_tokens(data: np.ndarray, token_offsets: np.ndarray):
         n,
         [
             None,
-            pa.py_buffer(np.ascontiguousarray(token_offsets).tobytes()),
-            pa.py_buffer(np.ascontiguousarray(data[: token_offsets[-1]]).tobytes()),
+            pa.py_buffer(np.ascontiguousarray(token_offsets)),
+            pa.py_buffer(np.ascontiguousarray(data[: token_offsets[-1]])),
         ],
     )
     d = arr.dictionary_encode()

@@ -116,13 +116,16 @@ def from_kernel(
 
     if dtype == "bytes":
         data, offsets = values
+        # py_buffer wraps the numpy arrays ZERO-COPY (it keeps them alive
+        # via the buffer protocol) — the old .tobytes() re-streamed every
+        # decoded byte through an extra copy
         dense = pa.Array.from_buffers(
             pa.large_binary(),
             count - null_count,
             [
                 None,
-                pa.py_buffer(np.ascontiguousarray(offsets, dtype=np.int64).tobytes()),
-                pa.py_buffer(np.ascontiguousarray(data).tobytes()),
+                pa.py_buffer(np.ascontiguousarray(offsets, dtype=np.int64)),
+                pa.py_buffer(np.ascontiguousarray(data)),
             ],
         )
         if valid is not None:
@@ -158,8 +161,8 @@ def _scatter_bytes(dense: pa.Array, valid: np.ndarray, count: int) -> pa.Array:
         pa.large_binary(),
         count,
         [
-            pa.py_buffer(np.packbits(valid, bitorder="little").tobytes()),
-            pa.py_buffer(offsets.tobytes()),
+            pa.py_buffer(np.packbits(valid, bitorder="little")),
+            pa.py_buffer(offsets),
             dense.buffers()[2] or pa.py_buffer(b""),
         ],
         null_count=int((~valid).sum()),

@@ -363,6 +363,144 @@ def encode_dataframe(
     return {**totals, "skipped_parts": n_done}
 
 
+def encode_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    *,
+    key_col: str = "url",
+    sort_cols: list[str] | None = None,
+    block_rows: int = framing.DEFAULT_BLOCK_ROWS,
+    block_bytes: int = framing.DEFAULT_BLOCK_BYTES,
+    resume: bool = True,
+) -> dict:
+    """SOURCE-DIRECT encode of a parquet/Iceberg-style table directory:
+    the scan happens INSIDE the Arrow task.
+
+    The generic ``encode_dataframe`` path necessarily feeds the Python
+    kernels through Spark's row pipeline (cache/scan -> InternalRow ->
+    Arrow), and that JVM conversion was measured NOT to scale with cores
+    on this engine's profile (allocation-rate bound: ~same wall at 8 and
+    32 threads for a 7.4 GB feed).  When the source is already a parquet
+    table — the north-star ingest case — none of that is needed: Spark
+    distributes one task per data FILE (a one-column DataFrame of file
+    splits), and each task reads its file with pyarrow's vectorized C++
+    reader straight into the same Arrow-native encode kernel.  No table
+    byte ever crosses the JVM.  Partition identity = file index in the
+    sorted listing (the aligned-mode contract: stable for a static input
+    listing, guarded by the partitioning meta), so resume/idempotence
+    semantics are unchanged.  On a real cluster the listing comes from
+    the table catalog and tasks read from the object store — the same
+    shape as any Iceberg-native scan.
+
+    Skewed sources still route through ``encode_dataframe`` with
+    partitioning='salted' (key-based routing needs the shuffle).
+    """
+    files = sorted(
+        f
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    if not files:
+        raise ValueError(f"no parquet data files under {src_dir}")
+    if sort_cols is None:
+        probe = spark.read.parquet(src_dir)
+        sort_cols = [c for c in ("warc_ts", "ts") if c in probe.columns]
+        src_cols = probe.columns
+    else:
+        src_cols = spark.read.parquet(src_dir).columns
+
+    if not resume:
+        import shutil as _sh
+
+        ckpt.clear_checkpoint(out_dir)
+        _sh.rmtree(os.path.join(out_dir, M.BLOCKS_DIR), ignore_errors=True)
+        _sh.rmtree(os.path.join(out_dir, M.MANIFEST_DIR), ignore_errors=True)
+    ckpt.check_partitioning_meta(
+        out_dir,
+        {
+            "partitioning": "source_direct",
+            "num_parts": len(files),
+            "key_col": key_col,
+            "salt_buckets": 0,
+        },
+        resume=resume,
+    )
+    splits = [
+        (i, os.path.join(src_dir, f)) for i, f in enumerate(files)
+    ]
+    n_done = 0
+    if resume:
+        done = ckpt.done_parts(spark, out_dir)
+        if done is not None:
+            done_ids = {r["part_id"] for r in done.collect()}
+            n_done = len(done_ids)
+            splits = [s for s in splits if s[0] not in done_ids]
+
+    blocks_dir = os.path.join(out_dir, M.BLOCKS_DIR)
+    manifest_dir = os.path.join(out_dir, M.MANIFEST_DIR)
+    summaries = []
+    if splits:
+        sdf = spark.createDataFrame(
+            spark.sparkContext.parallelize(splits, len(splits)),
+            schema="part_id int, path string",
+        )
+
+        def encode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            import pyarrow as _pa
+            import pyarrow.parquet as pq
+
+            # one arrow thread per task: Spark already runs one task per
+            # core, and pyarrow's default cpu_count-sized pool inside
+            # EVERY concurrent task oversubscribes the box (32 tasks x
+            # 32 reader threads), destroying scaling
+            _pa.set_cpu_count(1)
+            for batch in batches:
+                pids = batch.column("part_id").to_pylist()
+                paths = batch.column("path").to_pylist()
+                for pid, path in zip(pids, paths):
+                    # memory_map: on a local/POSIX store, uncompressed
+                    # column chunks page straight in without a read copy
+                    tbl = pq.read_table(
+                        path, columns=src_cols, memory_map=True
+                    )
+                    if sort_cols:
+                        tbl = tbl.sort_by(
+                            [
+                                (c, "ascending")
+                                for c in sort_cols
+                                if c in tbl.column_names
+                            ]
+                        )
+                    yield _encode_partition_table(
+                        pid, tbl, block_rows, block_bytes, key_col,
+                        blocks_dir, manifest_dir,
+                    )
+
+        summaries = sdf.mapInArrow(encode_files, SUMMARY_SCHEMA).collect()
+
+    ckpt_rows = sorted(
+        (
+            {
+                "part_id": r["part_id"],
+                "status": "done",
+                "n_rows": r["n_rows"],
+                "n_blocks": r["n_blocks"],
+                "n_columns": r["n_columns"],
+                "raw_bytes": r["raw_bytes"],
+                "encoded_bytes": r["encoded_bytes"],
+                "fingerprint": r["fingerprint"],
+                "encode_ns": r["encode_ns"],
+            }
+            for r in summaries
+        ),
+        key=lambda r: r["part_id"],
+    )
+    ckpt.commit_checkpoint_rows(ckpt_rows, out_dir)
+    totals = ckpt.checkpoint_totals(out_dir)
+    return {**totals, "skipped_parts": n_done}
+
+
 SUMMARY_SCHEMA = (
     "part_id int, n_rows long, n_blocks long, n_columns int, "
     "raw_bytes long, encoded_bytes long, fingerprint long, encode_ns long"
@@ -424,144 +562,164 @@ def _make_encoder(
             yield from _flush(cur_pid, buf)
 
     def _flush(pid: int, buf: list[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        t0 = time.monotonic_ns()
         tbl = pa.Table.from_batches(buf).drop_columns(["part_id"])
-        fp = _fingerprint(tbl, key_col)
-        ranges = framing.block_ranges(tbl, block_rows, block_bytes)
-        ctxs = {name: ColumnContext() for name in tbl.column_names}
-        rows = {k: [] for k in (
-            "block_id", "col_idx", "column", "logical_type", "codec", "params",
-            "payload", "validity", "value_count", "null_count", "raw_bytes",
-            "encoded_bytes", "zmin_i", "zmax_i", "zmin_d", "zmax_d",
-        )}
-        for block_id, (start, length) in enumerate(ranges):
-            for col_idx, name in enumerate(tbl.column_names):
-                arr = tbl.column(name).slice(start, length).combine_chunks()
-                values, dtype, validity, null_count, raw = framing.to_kernel(arr)
-                codec, payload, params, _est = select_and_encode(
-                    values, dtype, ctxs[name]
-                )
-                rows["block_id"].append(block_id)
-                rows["col_idx"].append(col_idx)
-                rows["column"].append(name)
-                rows["logical_type"].append(str(arr.type))
-                rows["codec"].append(codec)
-                rows["params"].append(json.dumps(params, separators=(",", ":")))
-                rows["payload"].append(payload)
-                rows["validity"].append(validity)
-                rows["value_count"].append(length)
-                rows["null_count"].append(null_count)
-                rows["raw_bytes"].append(raw)
-                rows["encoded_bytes"].append(len(payload))
-                zi_lo, zi_hi, zd_lo, zd_hi = _zone_stats(values, dtype)
-                rows["zmin_i"].append(zi_lo)
-                rows["zmax_i"].append(zi_hi)
-                rows["zmin_d"].append(zd_lo)
-                rows["zmax_d"].append(zd_hi)
-        n = len(rows["block_id"])
-        encode_ns = time.monotonic_ns() - t0
-        part_dir = f"part_id={pid}"
-        blocks_tbl = pa.table(
-            {
-                "block_id": pa.array(rows["block_id"], type=pa.int32()),
-                "col_idx": pa.array(rows["col_idx"], type=pa.int32()),
-                "column": pa.array(rows["column"], type=pa.string()),
-                "logical_type": pa.array(rows["logical_type"], type=pa.string()),
-                "codec": pa.array(rows["codec"], type=pa.string()),
-                "params": pa.array(rows["params"], type=pa.string()),
-                "payload": pa.array(rows["payload"], type=pa.binary()),
-                "validity": pa.array(rows["validity"], type=pa.binary()),
-                "value_count": pa.array(rows["value_count"], type=pa.int64()),
-                "null_count": pa.array(rows["null_count"], type=pa.int64()),
-                "raw_bytes": pa.array(rows["raw_bytes"], type=pa.int64()),
-                "encoded_bytes": pa.array(rows["encoded_bytes"], type=pa.int64()),
-                "encode_ns": pa.array([encode_ns] * n, type=pa.int64()),
-                "fingerprint": pa.array([fp] * n, type=pa.int64()),
-                "zmin_i": pa.array(rows["zmin_i"], type=pa.int64()),
-                "zmax_i": pa.array(rows["zmax_i"], type=pa.int64()),
-                "zmin_d": pa.array(rows["zmin_d"], type=pa.float64()),
-                "zmax_d": pa.array(rows["zmax_d"], type=pa.float64()),
-            }
-        )
-        _atomic_write(
-            blocks_tbl, os.path.join(blocks_dir, part_dir, "data.parquet"),
-            stat_cols=_BLOCK_STAT_COLS,
-        )
-
-        # per-(partition, column) manifest rows, aggregated in place — the
-        # kernel already holds the whole partition, so no second Spark
-        # job / blocks re-scan is ever needed
-        man = {}
-        for i in range(n):
-            key = rows["col_idx"][i]
-            m = man.setdefault(
-                key,
-                {
-                    "col_idx": key,
-                    "column": rows["column"][i],
-                    "logical_type": rows["logical_type"][i],
-                    "n_blocks": 0,
-                    "n_values": 0,
-                    "null_count": 0,
-                    "raw_bytes": 0,
-                    "encoded_bytes": 0,
-                    "codecs": {},
-                },
-            )
-            m["n_blocks"] += 1
-            m["n_values"] += rows["value_count"][i]
-            m["null_count"] += rows["null_count"][i]
-            m["raw_bytes"] += rows["raw_bytes"][i]
-            m["encoded_bytes"] += rows["encoded_bytes"][i]
-            c = rows["codec"][i]
-            m["codecs"][c] = m["codecs"].get(c, 0) + 1
-        man_rows = [man[k] for k in sorted(man)]
-        man_tbl = pa.table(
-            {
-                "col_idx": pa.array([m["col_idx"] for m in man_rows], type=pa.int32()),
-                "column": pa.array([m["column"] for m in man_rows], type=pa.string()),
-                "logical_type": pa.array([m["logical_type"] for m in man_rows], type=pa.string()),
-                "n_blocks": pa.array([m["n_blocks"] for m in man_rows], type=pa.int64()),
-                "n_values": pa.array([m["n_values"] for m in man_rows], type=pa.int64()),
-                "null_count": pa.array([m["null_count"] for m in man_rows], type=pa.int64()),
-                "raw_bytes": pa.array([m["raw_bytes"] for m in man_rows], type=pa.int64()),
-                "encoded_bytes": pa.array([m["encoded_bytes"] for m in man_rows], type=pa.int64()),
-                "codecs": pa.array(
-                    [
-                        json.dumps(
-                            dict(sorted(m["codecs"].items())),
-                            separators=(",", ":"),
-                        )
-                        for m in man_rows
-                    ],
-                    type=pa.string(),
-                ),
-                "fingerprint": pa.array([fp] * len(man_rows), type=pa.int64()),
-                "encode_ns": pa.array([encode_ns] * len(man_rows), type=pa.int64()),
-            }
-        )
-        _atomic_write(
-            man_tbl, os.path.join(manifest_dir, part_dir, "data.parquet")
-        )
-
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array([pid], type=pa.int32()),
-                pa.array([man_rows[0]["n_values"] if man_rows else 0], type=pa.int64()),
-                pa.array([man_rows[0]["n_blocks"] if man_rows else 0], type=pa.int64()),
-                pa.array([len(man_rows)], type=pa.int32()),
-                pa.array([sum(m["raw_bytes"] for m in man_rows)], type=pa.int64()),
-                pa.array([sum(m["encoded_bytes"] for m in man_rows)], type=pa.int64()),
-                pa.array([fp], type=pa.int64()),
-                pa.array([encode_ns], type=pa.int64()),
-            ],
-            names=[
-                "part_id", "n_rows", "n_blocks", "n_columns", "raw_bytes",
-                "encoded_bytes", "fingerprint", "encode_ns",
-            ],
+        yield _encode_partition_table(
+            pid, tbl, block_rows, block_bytes, key_col, blocks_dir,
+            manifest_dir,
         )
 
     return encode_partition
+
+
+def _encode_partition_table(
+    pid: int,
+    tbl: pa.Table,
+    block_rows: int,
+    block_bytes: int,
+    key_col: str,
+    blocks_dir: str,
+    manifest_dir: str,
+) -> pa.RecordBatch:
+    """Encode ONE partition's Arrow table: frame into blocks, run codec
+    selection per column chunk, write the partition's blocks + manifest
+    parquet task-side, and return the one-row summary batch.  Shared by
+    the DataFrame encode path (JVM feed) and the source-direct parquet
+    path (pyarrow scan inside the task)."""
+    t0 = time.monotonic_ns()
+    fp = _fingerprint(tbl, key_col)
+    ranges = framing.block_ranges(tbl, block_rows, block_bytes)
+    ctxs = {name: ColumnContext() for name in tbl.column_names}
+    rows = {k: [] for k in (
+        "block_id", "col_idx", "column", "logical_type", "codec", "params",
+        "payload", "validity", "value_count", "null_count", "raw_bytes",
+        "encoded_bytes", "zmin_i", "zmax_i", "zmin_d", "zmax_d",
+    )}
+    for block_id, (start, length) in enumerate(ranges):
+        for col_idx, name in enumerate(tbl.column_names):
+            arr = tbl.column(name).slice(start, length).combine_chunks()
+            values, dtype, validity, null_count, raw = framing.to_kernel(arr)
+            codec, payload, params, _est = select_and_encode(
+                values, dtype, ctxs[name]
+            )
+            rows["block_id"].append(block_id)
+            rows["col_idx"].append(col_idx)
+            rows["column"].append(name)
+            rows["logical_type"].append(str(arr.type))
+            rows["codec"].append(codec)
+            rows["params"].append(json.dumps(params, separators=(",", ":")))
+            rows["payload"].append(payload)
+            rows["validity"].append(validity)
+            rows["value_count"].append(length)
+            rows["null_count"].append(null_count)
+            rows["raw_bytes"].append(raw)
+            rows["encoded_bytes"].append(len(payload))
+            zi_lo, zi_hi, zd_lo, zd_hi = _zone_stats(values, dtype)
+            rows["zmin_i"].append(zi_lo)
+            rows["zmax_i"].append(zi_hi)
+            rows["zmin_d"].append(zd_lo)
+            rows["zmax_d"].append(zd_hi)
+    n = len(rows["block_id"])
+    encode_ns = time.monotonic_ns() - t0
+    part_dir = f"part_id={pid}"
+    blocks_tbl = pa.table(
+        {
+            "block_id": pa.array(rows["block_id"], type=pa.int32()),
+            "col_idx": pa.array(rows["col_idx"], type=pa.int32()),
+            "column": pa.array(rows["column"], type=pa.string()),
+            "logical_type": pa.array(rows["logical_type"], type=pa.string()),
+            "codec": pa.array(rows["codec"], type=pa.string()),
+            "params": pa.array(rows["params"], type=pa.string()),
+            "payload": pa.array(rows["payload"], type=pa.binary()),
+            "validity": pa.array(rows["validity"], type=pa.binary()),
+            "value_count": pa.array(rows["value_count"], type=pa.int64()),
+            "null_count": pa.array(rows["null_count"], type=pa.int64()),
+            "raw_bytes": pa.array(rows["raw_bytes"], type=pa.int64()),
+            "encoded_bytes": pa.array(rows["encoded_bytes"], type=pa.int64()),
+            "encode_ns": pa.array([encode_ns] * n, type=pa.int64()),
+            "fingerprint": pa.array([fp] * n, type=pa.int64()),
+            "zmin_i": pa.array(rows["zmin_i"], type=pa.int64()),
+            "zmax_i": pa.array(rows["zmax_i"], type=pa.int64()),
+            "zmin_d": pa.array(rows["zmin_d"], type=pa.float64()),
+            "zmax_d": pa.array(rows["zmax_d"], type=pa.float64()),
+        }
+    )
+    _atomic_write(
+        blocks_tbl, os.path.join(blocks_dir, part_dir, "data.parquet"),
+        stat_cols=_BLOCK_STAT_COLS,
+    )
+
+    # per-(partition, column) manifest rows, aggregated in place — the
+    # kernel already holds the whole partition, so no second Spark
+    # job / blocks re-scan is ever needed
+    man = {}
+    for i in range(n):
+        key = rows["col_idx"][i]
+        m = man.setdefault(
+            key,
+            {
+                "col_idx": key,
+                "column": rows["column"][i],
+                "logical_type": rows["logical_type"][i],
+                "n_blocks": 0,
+                "n_values": 0,
+                "null_count": 0,
+                "raw_bytes": 0,
+                "encoded_bytes": 0,
+                "codecs": {},
+            },
+        )
+        m["n_blocks"] += 1
+        m["n_values"] += rows["value_count"][i]
+        m["null_count"] += rows["null_count"][i]
+        m["raw_bytes"] += rows["raw_bytes"][i]
+        m["encoded_bytes"] += rows["encoded_bytes"][i]
+        c = rows["codec"][i]
+        m["codecs"][c] = m["codecs"].get(c, 0) + 1
+    man_rows = [man[k] for k in sorted(man)]
+    man_tbl = pa.table(
+        {
+            "col_idx": pa.array([m["col_idx"] for m in man_rows], type=pa.int32()),
+            "column": pa.array([m["column"] for m in man_rows], type=pa.string()),
+            "logical_type": pa.array([m["logical_type"] for m in man_rows], type=pa.string()),
+            "n_blocks": pa.array([m["n_blocks"] for m in man_rows], type=pa.int64()),
+            "n_values": pa.array([m["n_values"] for m in man_rows], type=pa.int64()),
+            "null_count": pa.array([m["null_count"] for m in man_rows], type=pa.int64()),
+            "raw_bytes": pa.array([m["raw_bytes"] for m in man_rows], type=pa.int64()),
+            "encoded_bytes": pa.array([m["encoded_bytes"] for m in man_rows], type=pa.int64()),
+            "codecs": pa.array(
+                [
+                    json.dumps(
+                        dict(sorted(m["codecs"].items())),
+                        separators=(",", ":"),
+                    )
+                    for m in man_rows
+                ],
+                type=pa.string(),
+            ),
+            "fingerprint": pa.array([fp] * len(man_rows), type=pa.int64()),
+            "encode_ns": pa.array([encode_ns] * len(man_rows), type=pa.int64()),
+        }
+    )
+    _atomic_write(
+        man_tbl, os.path.join(manifest_dir, part_dir, "data.parquet")
+    )
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([pid], type=pa.int32()),
+            pa.array([man_rows[0]["n_values"] if man_rows else 0], type=pa.int64()),
+            pa.array([man_rows[0]["n_blocks"] if man_rows else 0], type=pa.int64()),
+            pa.array([len(man_rows)], type=pa.int32()),
+            pa.array([sum(m["raw_bytes"] for m in man_rows)], type=pa.int64()),
+            pa.array([sum(m["encoded_bytes"] for m in man_rows)], type=pa.int64()),
+            pa.array([fp], type=pa.int64()),
+            pa.array([encode_ns], type=pa.int64()),
+        ],
+        names=[
+            "part_id", "n_rows", "n_blocks", "n_columns", "raw_bytes",
+            "encoded_bytes", "fingerprint", "encode_ns",
+        ],
+    )
 
 
 _INT_KIND_DTYPES = {"i1", "<i2", "<i4", "<i8", "u1"}

@@ -137,6 +137,29 @@ def test_quoted_embedded_newline(spark, tmp_path):
     assert rows[0]["SCADAVALUE"] == 1.5
 
 
+def test_stray_quote_stays_localized():
+    """A single malformed line with an unpaired quote must not swallow
+    the rest of the file into one record: continuation is bounded, and
+    past the bound the buffered lines are emitted individually."""
+    from nem_mms_spark.sources.flatfile import _MAX_CONTINUED_LINES, _split_records
+
+    good = [f"D,T,S,1,row{i},1.0" for i in range(_MAX_CONTINUED_LINES * 2)]
+    text = "\n".join(['D,T,S,1,"broken,1.0'] + good)
+    recs = list(_split_records(text))
+    # every good line must come back as its own record
+    for line in good:
+        assert line in recs
+    # and the broken opener surfaces as a record of its own
+    assert any(r.startswith('D,T,S,1,"broken') for r in recs)
+
+
+def test_balanced_multiline_record_still_merges():
+    from nem_mms_spark.sources.flatfile import _split_records
+
+    text = 'a,"x\ny",b\nplain,1'
+    assert list(_split_records(text)) == ['a,"x\ny",b', "plain,1"]
+
+
 def test_eor_count_mismatch_is_fatal(spark, tmp_path):
     f = "\n".join(
         [

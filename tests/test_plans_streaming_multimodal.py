@@ -96,6 +96,33 @@ def test_incremental_encode_two_batches(spark, tmp_path):
     assert a.join(b, ["url", "count"]).count() == a.count()
 
 
+def test_stream_decode_is_single_scan_over_many_batches(spark, tmp_path):
+    """Plan-size contract for the cross-batch decode: however many epochs
+    exist, the decode plan contains exactly ONE parquet scan of block
+    files (the round-3 implementation unioned one sub-plan per batch, so
+    plan size and driver work grew with epoch count)."""
+    from nem_mms_spark.datagen import web_pages_df
+    from nem_mms_spark.jobs.encode import encode_dataframe
+    from nem_mms_spark.streaming import decode_stream_output
+
+    out = str(tmp_path / "stream_out")
+    n_batches, rows_each = 6, 120
+    for epoch in range(n_batches):
+        df = web_pages_df(spark, rows_each * (epoch + 1)).filter(
+            F.col("url").isNotNull()
+        ).limit(rows_each)
+        encode_dataframe(
+            spark, df, f"{out}/batch={epoch}", num_parts=2, resume=False,
+            partitioning="aligned",
+        )
+    dec = decode_stream_output(spark, out)
+    assert dec.count() == n_batches * rows_each
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    # one batched scan node reads every batch's blocks
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 1, plan
+
+
 def test_multimodal_feature_extraction(spark):
     import pandas as pd
 

@@ -87,6 +87,29 @@ def test_resume_partitioning_mismatch_raises(spark, pages, tmp_path):
         )
 
 
+def test_resume_without_partitioning_meta_raises(spark, pages, tmp_path):
+    """A checkpoint with committed runs but no _partitioning.json (older
+    engine version / lost meta) must refuse to resume: its done-ids were
+    produced by an unknown part-id assignment, and silently adopting the
+    current meta is exactly the stale-done-ids data drop the guard
+    prevents."""
+    import os
+
+    import pytest as _pytest
+
+    from nem_mms_spark.jobs.encode import encode_dataframe
+
+    out = str(tmp_path / "enc")
+    small = pages.limit(2000)
+    encode_dataframe(spark, small, out, num_parts=4, resume=False)
+    os.remove(os.path.join(out, "checkpoint", "_partitioning.json"))
+    with _pytest.raises(ValueError, match="no\\s+_partitioning.json"):
+        encode_dataframe(spark, small, out, num_parts=4, resume=True)
+    # an EMPTY checkpoint dir without meta is fine (first run writes it)
+    out2 = str(tmp_path / "enc2")
+    encode_dataframe(spark, small, out2, num_parts=4, resume=True)
+
+
 def test_hybrid_same_input_resume_is_noop(spark, pages, tmp_path):
     """Hybrid resume contract: re-running the same input over a completed
     encode skips every partition and leaves the output byte-identical."""
