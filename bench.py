@@ -103,6 +103,12 @@ def _new_spark(cores: int):
             # ONE JVM across sessions, so this applies from the first
             # session for the whole bench run.
             "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+            # NOTE: spark.speculation was tried for hypervisor-stall
+            # straggler mitigation and REJECTED: on one box the
+            # speculative copies compete with originals for the same
+            # cores (measured: t32 reps 7-22s with quantile 0.5 vs
+            # 4.3-5.1s without).  On a real multi-node cluster it would
+            # help; here it just doubles load.
         },
     )
 
@@ -175,6 +181,13 @@ def run_encode_scaling(tmp: str) -> dict:
         nonlocal raw_bytes, rows
         sess: dict = {"cores": cores, "walls": {m: [] for m in modes}}
         sessions.append(sess)
+        # per-session hardware control: deliverable bandwidth on this box
+        # swings over MULTI-HOUR weather windows (measured 3x), and a
+        # probe taken at a different time than the reps normalizes
+        # against the wrong window.  One quick memcpy probe at THIS
+        # session's concurrency, taken right here, shares the reps'
+        # weather.
+        sess["membw_gb_s"] = _membw_quick(cores)
         spark = _new_spark(cores)
         _warm_up(spark, src)
         # cache the source in memory: a 1000-executor cluster's scan
@@ -234,7 +247,7 @@ def run_encode_scaling(tmp: str) -> dict:
     # secondary point on the scaling curve: N=2 (2->8 is the second
     # N-vs-4N pair; together with 8->32 it shows where the single box's
     # shared L3/memory controller bends the curve)
-    run_config(2, ("aligned",), 1)
+    run_config(2, ("aligned",), 2)
     # adaptive extra session: if the best two reps of a config disagree
     # badly the windows were disturbed — buy more samples for that config
     for (mode, cores), ws in list(walls.items()):
@@ -277,6 +290,33 @@ def run_encode_scaling(tmp: str) -> dict:
         "per_session": [round(x, 3) for x in paired],
         "median": round(paired[len(paired) // 2], 3) if paired else None,
     }
+
+    # WINDOW-MATCHED probe normalization: compare each level's best wall
+    # against the memcpy bandwidth measured INSIDE that same session —
+    # a probe from a different weather window normalizes against the
+    # wrong hardware state (measured: deliverable bandwidth swings 3x
+    # across multi-hour windows, hitting wide configs hardest)
+    def _best_sess(mode, cores):
+        cands = [
+            (min(s["walls"][mode]), s)
+            for s in sessions
+            if s["cores"] == cores and s["walls"].get(mode)
+        ]
+        return min(cands, key=lambda x: x[0]) if cands else (None, None)
+
+    _, s_lo = _best_sess("aligned", lo)
+    _, s_hi = _best_sess("aligned", hi)
+    matched = None
+    if s_lo is not None and s_hi is not None:
+        probe_eff_matched = (
+            s_hi["membw_gb_s"] / s_lo["membw_gb_s"]
+        ) / (hi / lo)
+        matched = {
+            "probe_gb_s_at_best_lo_session": s_lo["membw_gb_s"],
+            "probe_gb_s_at_best_hi_session": s_hi["membw_gb_s"],
+            "probe_eff_matched": round(probe_eff_matched, 4),
+            "efficiency_vs_matched_probe": round(eff / probe_eff_matched, 4),
+        }
 
     # IN-JOB kernel-time scaling: the summed per-task encode seconds
     # (measured inside each task, start of first batch to blocks commit)
@@ -358,6 +398,10 @@ def run_encode_scaling(tmp: str) -> dict:
         "salted_vs_aligned_paired": paired_ratio,
         "in_job_task_kernel_s": in_job,
         "in_job_kernel_time_ratio_hi_over_lo": in_job_ratio,
+        "membw_matched": matched,
+        "session_membw_gb_s": [
+            {"cores": s["cores"], "gb_s": s["membw_gb_s"]} for s in sessions
+        ],
         "kernel_warm_scaling": kernel_ceiling,
         "membw_probe": membw,
         # probe-normalized efficiency: how much of what the HARDWARE
@@ -371,6 +415,39 @@ def run_encode_scaling(tmp: str) -> dict:
         "reference_parquet_bytes": ref_bytes,
         "size_vs_reference_parquet": round(enc_bytes / max(ref_bytes, 1), 4),
     }
+
+
+def _membw_quick(k: int) -> float:
+    """One-shot aggregate memcpy GB/s at K concurrent pinned processes
+    (the per-session weather sample; see _membw_probe for the full
+    two-rep averaged control)."""
+    import multiprocessing as mp
+
+    def worker(seed, q):
+        import numpy as np
+
+        try:
+            os.sched_setaffinity(0, {seed % os.cpu_count()})
+        except OSError:
+            pass
+        n = (64 << 20) // 8
+        src = np.arange(n, dtype=np.int64)
+        dst = np.empty(n, dtype=np.int64)
+        np.copyto(dst, src)
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.copyto(dst, src)
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        q.put(n * 8 / best)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=worker, args=(i, q)) for i in range(k)]
+    [p.start() for p in ps]
+    res = [q.get() for _ in ps]
+    [p.join() for p in ps]
+    return round(sum(res) / 1e9, 2)
 
 
 def _membw_probe() -> dict:
@@ -562,12 +639,26 @@ def _membw_narrative(enc: dict) -> str:
     to a 0.95-efficiency probe measurement)."""
     probe_eff = enc["membw_probe"]["efficiency_8_to_32"]
     kern_eff = enc["kernel_warm_scaling"]["efficiency_8_to_32"]
+    m = enc.get("membw_matched") or {}
+    matched_line = (
+        "WINDOW-MATCHED control (the memcpy probe taken inside the same "
+        "session as each level's best wall — deliverable bandwidth on "
+        "this box swings ~3x across multi-hour weather windows): "
+        f"{m.get('probe_gb_s_at_best_lo_session')} GB/s beside the best "
+        f"8-core rep vs {m.get('probe_gb_s_at_best_hi_session')} GB/s "
+        f"beside the best 32-core rep — matched probe efficiency "
+        f"{m.get('probe_eff_matched')}, encode efficiency vs matched "
+        f"probe **{m.get('efficiency_vs_matched_probe')}**. "
+        if m
+        else ""
+    )
     facts = (
         "Hardware control, engine-INDEPENDENT — pure memcpy (np.copyto, "
         "warm 64 MB buffers, K concurrent pinned processes): "
         f"{enc['membw_probe'][8]['aggregate_gb_s']} GB/s aggregate at K=8 "
         f"vs {enc['membw_probe'][32]['aggregate_gb_s']} GB/s at K=32 — "
-        f"8->32 efficiency {probe_eff}. The engine kernels WITHOUT Spark "
+        f"8->32 efficiency {probe_eff}. " + matched_line
+        + "The engine kernels WITHOUT Spark "
         f"(warm-heap, best-of-3 per pinned worker) scale at {kern_eff} "
         f"({enc['kernel_warm_scaling'][8]['aggregate_mb_s']} -> "
         f"{enc['kernel_warm_scaling'][32]['aggregate_mb_s']} MB/s); the "

@@ -34,20 +34,29 @@ def cmd_generate(args) -> int:
 
 
 def cmd_encode(args) -> int:
-    from nem_mms_spark.jobs.encode import encode_dataframe
+    from nem_mms_spark.jobs.encode import encode_dataframe, encode_parquet
 
     spark = _spark(args)
-    df = spark.read.parquet(args.input)
-    metrics = encode_dataframe(
-        spark,
-        df,
-        args.out,
-        num_parts=args.num_parts,
-        key_col=args.key,
-        salt_buckets=args.salt_buckets,
-        resume=not args.no_resume,
-        partitioning=args.partitioning,
-    )
+    if args.partitioning == "source_direct":
+        metrics = encode_parquet(
+            spark,
+            args.input,
+            args.out,
+            key_col=args.key or "url",
+            resume=not args.no_resume,
+        )
+    else:
+        df = spark.read.parquet(args.input)
+        metrics = encode_dataframe(
+            spark,
+            df,
+            args.out,
+            num_parts=args.num_parts,
+            key_col=args.key,
+            salt_buckets=args.salt_buckets,
+            resume=not args.no_resume,
+            partitioning=args.partitioning,
+        )
     print(json.dumps(metrics))
     return 0
 
@@ -180,9 +189,12 @@ def main(argv=None) -> int:
     e.add_argument(
         "--partitioning",
         default="salted",
-        choices=("salted", "salted_full", "aligned"),
+        choices=("salted", "salted_full", "aligned", "source_direct"),
         help="salted = hybrid hot-key-only shuffle (default); "
-        "salted_full = legacy full shuffle; aligned = zero-shuffle in-place",
+        "salted_full = legacy full shuffle; aligned = zero-shuffle "
+        "in-place; source_direct = one task per parquet file, scanned "
+        "with pyarrow inside the task (fastest ingest of an existing "
+        "table)",
     )
     e.set_defaults(fn=cmd_encode)
 
