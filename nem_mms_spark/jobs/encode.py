@@ -272,9 +272,18 @@ def encode_dataframe(
         if hot is not None:
             hot = ckpt.filter_pending(hot, done)
 
+    # Shuffled branches sort with a whole-row content-hash TIEBREAKER so
+    # the within-partition order is TOTAL (up to bit-identical duplicate
+    # rows, which are interchangeable): shuffle delivery order is not
+    # deterministic across task attempts, and without a total order a
+    # retried/speculative attempt could produce different block bytes and
+    # fingerprints than the attempt whose summary committed (round-4
+    # ADVICE).  Unshuffled branches keep the input order — deterministic
+    # by construction for a static file listing.
+    _tb = F.xxhash64(*[F.col(c) for c in source_cols])
     if partitioning == "salted_full":
         work = work.repartition(num_parts, "part_id").sortWithinPartitions(
-            "part_id", *sort_cols
+            "part_id", *sort_cols, _tb
         )
     else:
         # aligned / hybrid-cold: splits are already disjoint on part_id —
@@ -283,7 +292,7 @@ def encode_dataframe(
             work = work.sortWithinPartitions(*sort_cols)
         if hot is not None:
             hot = hot.repartition(hot_parts, "part_id").sortWithinPartitions(
-                "part_id", *sort_cols
+                "part_id", *sort_cols, _tb
             )
 
     # ONE JOB per branch (round-4: the old three-pass flow — blocks write,
@@ -527,9 +536,13 @@ _BLOCK_STAT_COLS = [
 def _atomic_write(table: pa.Table, dest: str, stat_cols=None) -> None:
     """Task-side parquet commit: write to a dot-prefixed temp (invisible
     to Spark and pyarrow dataset listings), then os.replace — a retried
-    or speculative task attempt re-produces identical bytes (the encode
-    is deterministic) so last-replace-wins is safe.  On an object store
-    this is a single PUT."""
+    or speculative task attempt re-produces identical bytes so
+    last-replace-wins is safe.  Determinism holds on every branch:
+    unshuffled branches encode rows in input order, and shuffled
+    branches sort within partitions with a whole-row-hash tiebreaker
+    (a TOTAL order — ties only between bit-identical rows, whose swap
+    leaves the bytes unchanged).  On an object store this is a single
+    PUT."""
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.dirname(dest), exist_ok=True)

@@ -93,24 +93,31 @@ def _expand_blob(name: str, blob: bytes):
     # other extensions: skipped (main.rs:187)
 
 
-_MAX_CONTINUED_LINES = 64
+_MAX_CONTINUED_BYTES = 4 << 20
 
 
-def _split_records(text: str):
+def _split_records(text: str, max_continued_bytes: int = _MAX_CONTINUED_BYTES):
     """Quote-aware record extraction: a newline terminates a record only
     when all quotes so far are balanced (RFC-4180 — a quoted field may
     span physical lines).  Doubled quotes contribute 2 to the count, so
     escaped quotes keep the parity correct.
 
-    Continuation is BOUNDED (_MAX_CONTINUED_LINES physical lines): a
-    stray unpaired quote on a malformed line would otherwise swallow the
+    Continuation is BOUNDED BY BUFFERED BYTES (default 4 MiB): a stray
+    unpaired quote on a malformed line would otherwise swallow the
     entire remainder of the file into one giant record, turning one bad
     line into a whole-file parse failure; at the bound the buffered
     lines are emitted individually so the error stays localized to the
-    offending record.  Yielded indices are RECORD numbers, not physical
-    line numbers (a multi-line quoted record advances the index by 1) —
-    downstream diagnostics label them accordingly."""
+    offending record.  The bound is on bytes, not line count — RFC-4180
+    permits arbitrarily many embedded newlines, and a legitimate
+    long multi-line field must not silently become parse errors (the
+    previous 64-LINE bound did exactly that; round-4 ADVICE).  Trips
+    are counted in ``_split_records.bound_trips`` and logged, so
+    legitimate-data truncation is observable rather than silent.
+    Yielded indices are RECORD numbers, not physical line numbers (a
+    multi-line quoted record advances the index by 1) — downstream
+    diagnostics label them accordingly."""
     buf: list[str] | None = None
+    buf_bytes = 0
     for part in text.split("\n"):
         if part.endswith("\r"):
             part = part[:-1]
@@ -119,21 +126,37 @@ def _split_records(text: str):
                 yield part
             else:
                 buf = [part]
+                buf_bytes = len(part)
         else:
             buf.append(part)
+            buf_bytes += len(part) + 1
             if part.count('"') % 2 == 1:
                 yield "\n".join(buf)
                 buf = None
-            elif len(buf) > _MAX_CONTINUED_LINES:
+            elif buf_bytes > max_continued_bytes:
                 # localized failure: flush the run-away record line by
                 # line (the opener will fail to parse; later lines parse
                 # on their own merits)
+                _split_records.bound_trips += 1
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "quoted record exceeded %d buffered bytes after %d "
+                    "lines; force-splitting (unbalanced quote upstream, "
+                    "or raise max_continued_bytes for legitimately "
+                    "huge fields)",
+                    max_continued_bytes,
+                    len(buf),
+                )
                 yield from buf
                 buf = None
     if buf is not None:
         # unbalanced quote at EOF: emit lines verbatim (parse errors
         # surface downstream on the offending line only)
         yield from buf
+
+
+_split_records.bound_trips = 0
 
 
 # split on commas OUTSIDE quoted fields: a comma is a delimiter iff the

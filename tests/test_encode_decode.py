@@ -167,3 +167,48 @@ def test_determinism_across_runs(spark, pages, tmp_path_factory):
     c2 = {r["part_id"]: (r["fingerprint"], r["encoded_bytes"], r["n_rows"])
           for r in spark.read.parquet(os.path.join(out2, "checkpoint")).collect()}
     assert c1 == c2
+
+
+def test_uncommitted_partition_is_invisible(spark, pages, tmp_path_factory):
+    """Visibility contract (round-4 ADVICE): data files land task-side,
+    so a partition dir written by a failed/still-running encode must not
+    be readable until its checkpoint row commits.  Simulate a torn job
+    by copying a partition dir under a part_id that has no checkpoint
+    row: decode and zone-map scans must not see its rows."""
+    import shutil
+
+    from nem_mms_spark.jobs.decode import scan_blocks
+
+    out = str(tmp_path_factory.mktemp("enc_vis"))
+    encode_dataframe(spark, pages, out, num_parts=4, resume=False)
+    n_committed = decode_blocks(spark, out).count()
+    n_scan = scan_blocks(
+        spark, out, "warc_ts", lo=0, columns=["url", "warc_ts"]
+    ).count()
+    # torn write: a partition dir with no checkpoint row
+    for sub in ("blocks", "manifest"):
+        src_dir = next(
+            d
+            for d in os.listdir(os.path.join(out, sub))
+            if d.startswith("part_id=")
+        )
+        shutil.copytree(
+            os.path.join(out, sub, src_dir),
+            os.path.join(out, sub, "part_id=9999"),
+        )
+    assert decode_blocks(spark, out).count() == n_committed
+    assert (
+        scan_blocks(spark, out, "warc_ts", lo=0, columns=["url", "warc_ts"])
+        .count()
+        == n_scan
+    )
+
+
+def test_decode_without_any_commit_raises(spark, pages, tmp_path_factory):
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("enc_nockpt"))
+    encode_dataframe(spark, pages, out, num_parts=4, resume=False)
+    shutil.rmtree(os.path.join(out, "checkpoint"))
+    with pytest.raises(ValueError, match="no committed checkpoint"):
+        decode_blocks(spark, out).count()

@@ -139,18 +139,34 @@ def test_quoted_embedded_newline(spark, tmp_path):
 
 def test_stray_quote_stays_localized():
     """A single malformed line with an unpaired quote must not swallow
-    the rest of the file into one record: continuation is bounded, and
-    past the bound the buffered lines are emitted individually."""
-    from nem_mms_spark.sources.flatfile import _MAX_CONTINUED_LINES, _split_records
+    the rest of the file into one record: continuation is bounded (by
+    buffered BYTES), and past the bound the buffered lines are emitted
+    individually — with the trip counted for observability."""
+    from nem_mms_spark.sources.flatfile import _split_records
 
-    good = [f"D,T,S,1,row{i},1.0" for i in range(_MAX_CONTINUED_LINES * 2)]
+    good = [f"D,T,S,1,row{i},1.0" for i in range(200)]
     text = "\n".join(['D,T,S,1,"broken,1.0'] + good)
-    recs = list(_split_records(text))
+    trips_before = _split_records.bound_trips
+    recs = list(_split_records(text, max_continued_bytes=1024))
+    assert _split_records.bound_trips == trips_before + 1
     # every good line must come back as its own record
     for line in good:
         assert line in recs
     # and the broken opener surfaces as a record of its own
     assert any(r.startswith('D,T,S,1,"broken') for r in recs)
+
+
+def test_long_legitimate_multiline_record_not_split():
+    """RFC-4180 permits arbitrarily many embedded newlines: a legitimate
+    quoted field spanning hundreds of physical lines must come back as
+    ONE record (the old 64-LINE bound force-split it; the bound is now
+    on buffered bytes)."""
+    from nem_mms_spark.sources.flatfile import _split_records
+
+    body = "\n".join(f"line{i}" for i in range(500))
+    text = f'D,T,S,1,"{body}",1.0\nplain,1'
+    recs = list(_split_records(text))
+    assert recs == [f'D,T,S,1,"{body}",1.0', "plain,1"]
 
 
 def test_balanced_multiline_record_still_merges():

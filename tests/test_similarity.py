@@ -1,0 +1,193 @@
+"""Similarity-family contracts: exact baseline coverage, bucket-size cap,
+matmul/fold signature parity, persisted-bucket API, row-size bounds."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from nem_mms_spark.functions import similarity as S
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def _numpy_truth_topk(spark, k=20):
+    rows = (
+        _emb(spark).select("vec_id", "embedding").orderBy("vec_id").collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    g = m @ m.T
+    iu = np.triu_indices(len(ids), 1)
+    top = np.argsort(-g[iu])[:k]
+    return {(int(ids[iu[0][t]]), int(ids[iu[1][t]])) for t in top}
+
+
+def test_exact_pairs_covers_all_block_orientations(spark):
+    """Round-4 ADVICE (high): pairs whose smaller id lives in the
+    higher-numbered block were silently skipped, so the 'exact' baseline
+    was not exact.  The fixed baseline must match a single-matrix numpy
+    all-pairs top-k exactly."""
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.exact_pairs_topk(_emb(spark), k=20).collect()
+    }
+    assert got == _numpy_truth_topk(spark, 20)
+
+
+def test_exact_pairs_block_rows_stay_bounded(spark):
+    """collect_list packs one block per row; the auto block count must
+    keep each packed row under max_block_bytes of vector payload (the
+    round-4 verdict row-size item: a fixed n_blocks=8 meant gigabyte
+    rows at real scale)."""
+    emb = _emb(spark)
+    n = emb.count()
+    dim = 64
+    cap = 16_384
+    bytes_per_vec = dim * 4 + 16
+    n_blocks = max(8, -(-(n * bytes_per_vec) // cap))
+    sizes = (
+        emb.groupBy(
+            F.pmod(F.col("vec_id"), F.lit(int(n_blocks))).alias("blk")
+        )
+        .count()
+        .collect()
+    )
+    worst = max(r["count"] for r in sizes) * bytes_per_vec
+    # pmod spreads sequential ids near-uniformly; 2x slack for imbalance
+    assert worst <= 2 * cap
+    # and the bounded-block result is still the exact answer
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.exact_pairs_topk(
+            emb, k=20, max_block_bytes=cap
+        ).collect()
+    }
+    assert got == _numpy_truth_topk(spark, 20)
+
+
+def test_band_sigs_matmul_matches_fold(spark):
+    """The engine's one-pass numpy-matmul signatures must equal the
+    oracle-parity Catalyst-fold signatures row for row."""
+    emb = _emb(spark)
+    planes = S.hyperplanes(64, 8 * 6, seed=11)
+    fold = {
+        (r["vec_id"], r["band"], r["sig"])
+        for r in S._band_sigs(emb, planes, 8, 6, "vec_id", "embedding").collect()
+    }
+    mm = {
+        (r["vec_id"], r["band"], r["sig"])
+        for r in S._band_sigs_matmul(
+            emb, planes, 8, 6, "vec_id", "embedding"
+        ).collect()
+    }
+    assert mm == fold
+
+
+def test_banded_pairs_matmul_path_matches_fold(spark):
+    emb = _emb(spark)
+    fold = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.banded_candidate_pairs(emb, seed=11).collect()
+    }
+    mm = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.banded_candidate_pairs(
+            emb, seed=11, method="matmul"
+        ).collect()
+    }
+    assert mm == fold
+    assert len(fold) > 0
+
+
+def test_banded_pairs_matmul_plan_has_no_explode(spark):
+    plan = S.banded_candidate_pairs(
+        _emb(spark), seed=11, method="matmul"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "posexplode" not in plan.lower()
+    assert "Generate" not in plan  # no explode of any kind
+
+
+@pytest.fixture(scope="module")
+def clustered_embeddings(spark):
+    """Degenerate-bucket fixture: one tight cluster of 60 near-identical
+    vectors (every band signature collides for all of them) plus 40
+    spread vectors."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64)
+    rows = []
+    for i in range(60):
+        v = base + 1e-4 * rng.standard_normal(64)
+        rows.append((i, [float(x) for x in v], 0))
+    for i in range(60, 100):
+        rows.append(
+            (i, [float(x) for x in rng.standard_normal(64)], 1)
+        )
+    return spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_bucket_cap_bounds_degenerate_bucket(spark, clustered_embeddings):
+    """Round-4 verdict item 3: a popular band bucket makes the self-join
+    quadratic again.  With the cap, the mega-bucket is dropped before
+    the join (bounded work) and pairs outside it are unaffected."""
+    uncapped = S.banded_candidate_pairs(
+        clustered_embeddings, seed=11, max_bucket=None
+    )
+    capped = S.banded_candidate_pairs(
+        clustered_embeddings, seed=11, max_bucket=30
+    )
+    n_unc = uncapped.count()
+    n_cap = capped.count()
+    # the cluster contributes ~60*59/2 pairs uncapped; the cap removes
+    # that quadratic mass
+    assert n_unc >= 60 * 59 // 2
+    assert n_cap < n_unc - 1000
+    # the capped result is a pure subset (the cap only DROPS buckets —
+    # a pair lost its colliding bucket, never gained one)
+    unc = {(r["vec_a"], r["vec_b"]) for r in uncapped.collect()}
+    cap = {(r["vec_a"], r["vec_b"]) for r in capped.collect()}
+    assert cap <= unc
+    # spread-vector pairs whose buckets don't contain the cluster
+    # survive: at least some candidates remain
+    assert any(a >= 60 for a, _ in cap)
+
+
+def test_materialized_buckets_topk_matches_fold_path(spark):
+    emb = _emb(spark)
+    q = [float(x) for x in np.random.default_rng(5).standard_normal(64)]
+    pre = S.materialize_buckets(emb, n_planes=8, seed=7)
+    a = S.lsh_topk(emb, q, k=10, n_planes=8, seed=7).collect()
+    b = S.lsh_topk(
+        emb, q, k=10, n_planes=8, seed=7, precomputed=pre
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in a] == [
+        (r["vec_id"], r["cosine"]) for r in b
+    ]
+
+
+def test_materialize_buckets_matches_catalyst_fold_column(spark):
+    emb = _emb(spark)
+    planes = S.hyperplanes(64, 8, seed=7)
+    fold = {
+        (r["vec_id"], r["bucket"])
+        for r in emb.select(
+            "vec_id",
+            S.lsh_bucket_col(F.col("embedding"), planes).alias("bucket"),
+        ).collect()
+    }
+    mm = {
+        (r["vec_id"], r["bucket"])
+        for r in S.materialize_buckets(emb, n_planes=8, seed=7)
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    assert mm == fold
