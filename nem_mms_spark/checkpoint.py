@@ -136,6 +136,24 @@ def checkpoint_totals(out_dir: str) -> dict:
     raw = sum(data.column("raw_bytes").to_pylist())
     enc = sum(data.column("encoded_bytes").to_pylist())
     enc_ns = data.column("encode_ns").to_pylist()
+    # per-stage in-task seconds, summed over partitions (stage_ns is a
+    # JSON map per checkpoint row; absent on pre-r5 checkpoints) — the
+    # noise-free decomposition the scaling analysis keys off
+    stage_s: dict[str, float] = {}
+    if "stage_ns" in data.column_names:
+        import json as _json
+
+        for s in data.column("stage_ns").to_pylist():
+            if not s:
+                continue
+            for k, v in _json.loads(s).items():
+                stage_s[k] = stage_s.get(k, 0.0) + v
+        # `c_*` keys are raw counters (c_cpu/c_read_cpu are ns but kept
+        # whole for stall arithmetic); everything else converts to sec
+        stage_s = {
+            k: (int(v) if k.startswith("c_") else round(v / 1e9, 3))
+            for k, v in stage_s.items()
+        }
     return {
         "parts": data.num_rows,
         "rows": n_rows,
@@ -146,6 +164,7 @@ def checkpoint_totals(out_dir: str) -> dict:
         # the wave-packing- and noise-window-free view of kernel cost
         "task_encode_s_sum": round(sum(enc_ns) / 1e9, 3),
         "task_encode_s_max": round(max(enc_ns) / 1e9, 3) if enc_ns else 0.0,
+        "task_stage_s": stage_s,
     }
 
 

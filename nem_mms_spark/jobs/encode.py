@@ -363,6 +363,7 @@ def encode_dataframe(
                 "encoded_bytes": r["encoded_bytes"],
                 "fingerprint": r["fingerprint"],
                 "encode_ns": r["encode_ns"],
+                "stage_ns": r["stage_ns"],
             }
             for r in summaries
         ),
@@ -386,9 +387,21 @@ def encode_parquet(
     block_rows: int = framing.DEFAULT_BLOCK_ROWS,
     block_bytes: int = framing.DEFAULT_BLOCK_BYTES,
     resume: bool = True,
+    parallelism: int | None = None,
 ) -> dict:
     """SOURCE-DIRECT encode of a parquet/Iceberg-style table directory:
     the scan happens INSIDE the Arrow task.
+
+    ``parallelism``: cap on concurrent tasks via LPT bin-packing — the
+    file list is packed into this many bins (biggest file to the
+    least-loaded bin), one Spark task per bin, files encoded
+    sequentially within a task.  Fewer-but-bigger tasks amortize
+    per-task overhead and equalize bin loads better than one-file
+    tasks racing in waves (the makespan tail); it is also how the
+    bench runs two parallelism levels inside ONE session, so the
+    N-vs-4N comparison shares a single hypervisor noise window.
+    Output layout and part ids are unchanged (still one blocks/manifest
+    dir per source file).
 
     The generic ``encode_dataframe`` path necessarily feeds the Python
     kernels through Spark's row pipeline (cache/scan -> InternalRow ->
@@ -409,6 +422,7 @@ def encode_parquet(
     Skewed sources still route through ``encode_dataframe`` with
     partitioning='salted' (key-based routing needs the shuffle).
     """
+    _t_entry = time.monotonic()
     files = sorted(
         f
         for f in os.listdir(src_dir)
@@ -459,10 +473,23 @@ def encode_parquet(
     manifest_dir = os.path.join(out_dir, M.MANIFEST_DIR)
     summaries = []
     if splits:
-        sdf = spark.createDataFrame(
-            spark.sparkContext.parallelize(splits, len(splits)),
-            schema="part_id int, path string",
-        )
+        if parallelism and parallelism < len(splits):
+            # LPT bin-packing: splits are already sorted biggest-first;
+            # each goes to the least-loaded bin, one Spark partition
+            # (= one task) per bin
+            sizes = {p: os.path.getsize(p) for _i, p in splits}
+            bins: list[list] = [[] for _ in range(parallelism)]
+            loads = [0] * parallelism
+            for s in splits:
+                j = loads.index(min(loads))
+                bins[j].append(s)
+                loads[j] += sizes[s[1]]
+            rdd = spark.sparkContext.parallelize(
+                bins, parallelism
+            ).flatMap(lambda b: b)
+        else:
+            rdd = spark.sparkContext.parallelize(splits, len(splits))
+        sdf = spark.createDataFrame(rdd, schema="part_id int, path string")
 
         def encode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             import pyarrow as _pa
@@ -473,12 +500,18 @@ def encode_parquet(
             # EVERY concurrent task oversubscribes the box (32 tasks x
             # 32 reader threads), destroying scaling
             _pa.set_cpu_count(1)
+            _tune_worker()
             for batch in batches:
                 pids = batch.column("part_id").to_pylist()
                 paths = batch.column("path").to_pylist()
                 for pid, path in zip(pids, paths):
                     # memory_map: on a local/POSIX store, uncompressed
                     # column chunks page straight in without a read copy
+                    import resource as _res
+
+                    rr0 = _res.getrusage(_res.RUSAGE_SELF)
+                    rc0 = time.process_time_ns()
+                    tr = time.monotonic_ns()
                     tbl = pq.read_table(
                         path, columns=src_cols, memory_map=True
                     )
@@ -490,12 +523,24 @@ def encode_parquet(
                                 if c in tbl.column_names
                             ]
                         )
+                    read_ns = time.monotonic_ns() - tr
+                    rr1 = _res.getrusage(_res.RUSAGE_SELF)
+                    read_stats = {
+                        "read": read_ns,
+                        "c_read_cpu": time.process_time_ns() - rc0,
+                        "c_read_minflt": rr1.ru_minflt - rr0.ru_minflt,
+                        "c_read_nivcsw": rr1.ru_nivcsw - rr0.ru_nivcsw,
+                    }
                     yield _encode_partition_table(
                         pid, tbl, block_rows, block_bytes, key_col,
-                        blocks_dir, manifest_dir,
+                        blocks_dir, manifest_dir, read_ns=read_stats,
                     )
 
+        _t_job = time.monotonic()
         summaries = sdf.mapInArrow(encode_files, SUMMARY_SCHEMA).collect()
+        _t_collect = time.monotonic()
+    else:
+        _t_job = _t_collect = time.monotonic()
 
     ckpt_rows = sorted(
         (
@@ -509,6 +554,7 @@ def encode_parquet(
                 "encoded_bytes": r["encoded_bytes"],
                 "fingerprint": r["fingerprint"],
                 "encode_ns": r["encode_ns"],
+                "stage_ns": r["stage_ns"],
             }
             for r in summaries
         ),
@@ -516,12 +562,120 @@ def encode_parquet(
     )
     ckpt.commit_checkpoint_rows(ckpt_rows, out_dir)
     totals = ckpt.checkpoint_totals(out_dir)
-    return {**totals, "skipped_parts": n_done}
+    # driver-side phase walls: how much of the job wall is fixed
+    # overhead (setup = listing/schema probe/meta guard, commit =
+    # checkpoint write + totals) vs the distributed job itself
+    driver_s = {
+        "setup": round(_t_job - _t_entry, 3),
+        "job": round(_t_collect - _t_job, 3),
+        "commit": round(time.monotonic() - _t_collect, 3),
+    }
+    return {**totals, "skipped_parts": n_done, "driver_s": driver_s}
+
+
+def _tune_worker() -> None:
+    """Per-python-worker runtime tuning for encode tasks (idempotent —
+    workers are reused across tasks, so this runs cheaply per task).
+
+    * jemalloc decay: pyarrow's default pool returns freed pages to the
+      OS after ~10 s, so every encode task re-faults its ~300-400 MB of
+      scan/sort buffers (measured ~5M minor faults per 7.4 GB encode
+      pass).  Fault SERVICE cost anti-scales at high concurrency (page
+      zeroing competes with the kernels for memory bandwidth, LRU locks
+      serialize), which is exactly the in-job contention the round-4
+      verdict flagged.  A long decay keeps a long-lived worker's arena
+      resident — the steady state a real executor reaches anyway.
+    * worker pinning (NEM_MMS_PIN_WORKERS=0 to disable): one worker per
+      core removes CFS migration + sibling-preemption noise, the local
+      stand-in for the cgroup cpuset a real cluster manager gives each
+      executor.  Each worker CLAIMS a unique core slot via an O_EXCL
+      slot file (pid-modulo was tried and REJECTED: pid collisions pin
+      two busy workers to one core, and the measured involuntary-switch
+      rate tripled); slots from dead workers are reclaimed by liveness
+      check, and when every slot is taken (more workers than cores) the
+      worker stays unpinned rather than doubling up.
+    """
+    import pyarrow as _pa
+
+    try:
+        _pa.jemalloc_set_decay_ms(
+            int(os.environ.get("NEM_MMS_JEMALLOC_DECAY_MS", "300000"))
+        )
+    except (NotImplementedError, AttributeError):
+        pass  # non-jemalloc build
+    if os.environ.get("NEM_MMS_PIN_WORKERS", "1") != "0":
+        _pin_to_slot()
+
+
+_PIN_SLOT: list[int] | None = None
+
+
+def _pin_to_slot(slot_dir: str = "/dev/shm/nem_mms_pin") -> None:
+    """Claim a unique CPU slot for this (long-lived, reused) worker."""
+    global _PIN_SLOT
+    if _PIN_SLOT is not None:
+        return
+    ncpu = os.cpu_count() or 1
+    pid = os.getpid()
+    try:
+        os.makedirs(slot_dir, exist_ok=True)
+        for slot in range(ncpu):
+            path = os.path.join(slot_dir, str(slot))
+            for _attempt in (0, 1):
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, str(pid).encode())
+                    os.close(fd)
+                    os.sched_setaffinity(0, {slot})
+                    _PIN_SLOT = [slot]
+                    return
+                except FileExistsError:
+                    try:
+                        with open(path) as f:
+                            owner = int(f.read().strip() or "0")
+                    except (OSError, ValueError):
+                        owner = 0
+                    if owner == pid:  # re-claimed after a re-exec
+                        os.sched_setaffinity(0, {slot})
+                        _PIN_SLOT = [slot]
+                        return
+                    if owner and os.path.exists(f"/proc/{owner}"):
+                        break  # live owner -> next slot
+                    # stale claim from a dead worker: remove and retry
+                    try:
+                        os.unlink(path)
+                    except OSError:
+                        break
+        _PIN_SLOT = []  # all slots taken: run unpinned, never double up
+    except (OSError, AttributeError):
+        _PIN_SLOT = []
 
 
 SUMMARY_SCHEMA = (
     "part_id int, n_rows long, n_blocks long, n_columns int, "
-    "raw_bytes long, encoded_bytes long, fingerprint long, encode_ns long"
+    "raw_bytes long, encoded_bytes long, fingerprint long, encode_ns long, "
+    "stage_ns string"
+)
+
+# per-stage in-task timing keys (stage_ns JSON map): `read` = source
+# scan + sort (source-direct path only), `kernel` = Arrow->numpy framing,
+# `encode` = codec selection + encode proper, `zstats` = zone-map min/max,
+# `build` = blocks/manifest Arrow table construction, `write` = task-side
+# parquet commits, `fprint` = content fingerprint.  Summed per partition
+# and aggregated by checkpoint_totals: the per-stage 8-vs-32 ratio
+# localizes in-job contention to a stage (the round-4 verdict's ask) —
+# wall clocks on this box are weather; summed task-stage seconds are not.
+# Keys prefixed `c_` are raw COUNTERS, not nanoseconds: `c_cpu` =
+# process CPU-ns over the encode body (wall minus cpu = time the task
+# was stalled — faults, involuntary preemption), `c_minflt` /
+# `c_nivcsw` = minor-fault / involuntary-context-switch deltas, and the
+# `c_read_*` twins cover the read phase.  They cost two getrusage calls
+# per partition and turn "which stage contends at 4x concurrency" from
+# a guess into a recorded number.
+STAGE_KEYS = (
+    "read", "fprint", "kernel", "encode", "zstats", "build", "write",
+    "c_cpu", "c_minflt", "c_nivcsw",
+    "c_read_cpu", "c_read_minflt", "c_read_nivcsw",
 )
 
 # parquet column statistics are written for metadata columns only: payload
@@ -567,6 +721,7 @@ def _make_encoder(
     """Build the mapInArrow kernel. Pure function of partition content."""
 
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _tune_worker()
         cur_pid = None
         buf: list[pa.RecordBatch] = []
         for batch in batches:
@@ -606,14 +761,26 @@ def _encode_partition_table(
     key_col: str,
     blocks_dir: str,
     manifest_dir: str,
+    read_ns: int = 0,
 ) -> pa.RecordBatch:
     """Encode ONE partition's Arrow table: frame into blocks, run codec
     selection per column chunk, write the partition's blocks + manifest
     parquet task-side, and return the one-row summary batch.  Shared by
     the DataFrame encode path (JVM feed) and the source-direct parquet
     path (pyarrow scan inside the task)."""
+    import resource
+
     t0 = time.monotonic_ns()
+    stage = dict.fromkeys(STAGE_KEYS, 0)
+    if isinstance(read_ns, dict):
+        stage.update(read_ns)
+    else:
+        stage["read"] = read_ns
+    ru0 = resource.getrusage(resource.RUSAGE_SELF)
+    cpu0 = time.process_time_ns()
+    clk = time.monotonic_ns
     fp = _fingerprint(tbl, key_col)
+    stage["fprint"] = clk() - t0
     ranges = framing.block_ranges(tbl, block_rows, block_bytes)
     ctxs = {name: ColumnContext() for name in tbl.column_names}
     rows = {k: [] for k in (
@@ -623,11 +790,15 @@ def _encode_partition_table(
     )}
     for block_id, (start, length) in enumerate(ranges):
         for col_idx, name in enumerate(tbl.column_names):
+            tk = clk()
             arr = tbl.column(name).slice(start, length).combine_chunks()
             values, dtype, validity, null_count, raw = framing.to_kernel(arr)
+            te = clk()
+            stage["kernel"] += te - tk
             codec, payload, params, _est = select_and_encode(
                 values, dtype, ctxs[name]
             )
+            stage["encode"] += clk() - te
             rows["block_id"].append(block_id)
             rows["col_idx"].append(col_idx)
             rows["column"].append(name)
@@ -640,13 +811,16 @@ def _encode_partition_table(
             rows["null_count"].append(null_count)
             rows["raw_bytes"].append(raw)
             rows["encoded_bytes"].append(len(payload))
+            tz = clk()
             zi_lo, zi_hi, zd_lo, zd_hi = _zone_stats(values, dtype)
+            stage["zstats"] += clk() - tz
             rows["zmin_i"].append(zi_lo)
             rows["zmax_i"].append(zi_hi)
             rows["zmin_d"].append(zd_lo)
             rows["zmax_d"].append(zd_hi)
     n = len(rows["block_id"])
     encode_ns = time.monotonic_ns() - t0
+    tb = clk()
     part_dir = f"part_id={pid}"
     blocks_tbl = pa.table(
         {
@@ -670,10 +844,14 @@ def _encode_partition_table(
             "zmax_d": pa.array(rows["zmax_d"], type=pa.float64()),
         }
     )
+    tw = clk()
+    stage["build"] += tw - tb
     _atomic_write(
         blocks_tbl, os.path.join(blocks_dir, part_dir, "data.parquet"),
         stat_cols=_BLOCK_STAT_COLS,
     )
+    tb = clk()
+    stage["write"] += tb - tw
 
     # per-(partition, column) manifest rows, aggregated in place — the
     # kernel already holds the whole partition, so no second Spark
@@ -727,9 +905,16 @@ def _encode_partition_table(
             "encode_ns": pa.array([encode_ns] * len(man_rows), type=pa.int64()),
         }
     )
+    tw = clk()
+    stage["build"] += tw - tb
     _atomic_write(
         man_tbl, os.path.join(manifest_dir, part_dir, "data.parquet")
     )
+    stage["write"] += clk() - tw
+    ru1 = resource.getrusage(resource.RUSAGE_SELF)
+    stage["c_cpu"] = time.process_time_ns() - cpu0
+    stage["c_minflt"] = ru1.ru_minflt - ru0.ru_minflt
+    stage["c_nivcsw"] = ru1.ru_nivcsw - ru0.ru_nivcsw
 
     return pa.RecordBatch.from_arrays(
         [
@@ -741,10 +926,13 @@ def _encode_partition_table(
             pa.array([sum(m["encoded_bytes"] for m in man_rows)], type=pa.int64()),
             pa.array([fp], type=pa.int64()),
             pa.array([encode_ns], type=pa.int64()),
+            pa.array(
+                [json.dumps(stage, separators=(",", ":"))], type=pa.string()
+            ),
         ],
         names=[
             "part_id", "n_rows", "n_blocks", "n_columns", "raw_bytes",
-            "encoded_bytes", "fingerprint", "encode_ns",
+            "encoded_bytes", "fingerprint", "encode_ns", "stage_ns",
         ],
     )
 

@@ -81,3 +81,25 @@ def test_deterministic_blocks_across_runs(spark, src, tmp_path):
     assert content(os.path.join(out1, "blocks")).equals(
         content(os.path.join(out2, "blocks"))
     )
+
+
+def test_parallelism_bins_identical_output(spark, src, tmp_path):
+    """LPT task bins cap concurrency without changing the result: the
+    checkpoint rows (fingerprints, byte counts, part ids) and block
+    content are bit-identical at parallelism=2 vs one-task-per-file —
+    the property that lets the bench compare N-vs-4N inside one
+    session."""
+    import pyarrow.dataset as ds
+
+    def ckpt_content(root):
+        t = ds.dataset(
+            os.path.join(root, "checkpoint"), format="parquet"
+        ).to_table(columns=["part_id", "fingerprint", "encoded_bytes", "n_rows"])
+        return sorted(zip(*[t.column(c).to_pylist() for c in t.column_names]))
+
+    out_full = str(tmp_path / "full")
+    out_p2 = str(tmp_path / "p2")
+    m_full = encode_parquet(spark, src, out_full, resume=False)
+    m_p2 = encode_parquet(spark, src, out_p2, resume=False, parallelism=2)
+    assert m_full["rows"] == m_p2["rows"]
+    assert ckpt_content(out_full) == ckpt_content(out_p2)

@@ -1,148 +1,128 @@
 #!/usr/bin/env python
-"""Diagnose WHICH engine kernel anti-scales from K=8 to K=32 workers.
+"""Per-stage 8-vs-32 contention profile for the source-direct encode.
 
-Runs, at K in {8, 32} concurrent processes (pinned one-per-core):
-  controls:  memcpy64  (64 MB np.copyto — DRAM-bound, the bench probe)
-             memcpy1p5 (1.5 MB np.copyto — L2-resident, core-private)
-             alu       (int mul-add on a 256 KB buffer — pure compute)
-             stream30  (sequential uint64 sum over a 30 MB buffer — the
-                        engine's per-worker working-set size; separates
-                        "fits in shared L3 at K=8, spills at K=32" from
-                        genuine DRAM-bandwidth saturation)
-  kernels:   per-column select_and_encode over the same 16384-row slice
-             the bench's _kernel_warm_scaling uses, but timed PER COLUMN.
+Round-4 verdict item 1: summed in-task encode seconds inflate ~1.35x
+from local[8] to local[32] while the same kernels standalone scale at
+0.94 — WHICH stage inflates?  This runs the bench's aligned protocol
+(warm workers, tmpfs source, alternating levels) and prints the summed
+per-stage task seconds per rep, per level, so the inflation localizes.
 
-Prints a table of per-task wall (mean of workers, min over reps) at each K
-and the 8->32 efficiency.  Usage: python tools/profile_scaling.py
+Usage: python tools/profile_scaling.py [rows] [reps]
 """
-
 from __future__ import annotations
 
 import json
-import multiprocessing as mp
 import os
+import shutil
 import sys
 import time
 
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 31))
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 31))
 
-REPS = int(os.environ.get("PROF_REPS", "3"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+SHM = "/dev/shm/nem_mms_prof"
+LEVELS = (8, 32)
 
 
-def _controls(seed: int) -> dict:
-    import numpy as np
+def new_spark(cores: int):
+    from nem_mms_spark.session import get_spark
 
-    out = {}
-    # memcpy 64 MB (DRAM)
-    n = (64 << 20) // 8
-    src = np.arange(n, dtype=np.int64)
-    dst = np.empty(n, dtype=np.int64)
-    np.copyto(dst, src)
-    best = min(_t(lambda: np.copyto(dst, src)) for _ in range(3))
-    out["memcpy64"] = best
-    # memcpy 1.5 MB (L2)
-    n2 = (1536 << 10) // 8
-    s2, d2 = src[:n2].copy(), np.empty(n2, dtype=np.int64)
-    np.copyto(d2, s2)
-    best = min(_t(lambda: [np.copyto(d2, s2) for _ in range(64)]) for _ in range(3))
-    out["memcpy1p5"] = best
-    # ALU: multiply-add on 256 KB
-    n3 = (256 << 10) // 8
-    a = np.arange(n3, dtype=np.uint64)
-    b = np.empty(n3, dtype=np.uint64)
-
-    def alu():
-        for _ in range(256):
-            np.multiply(a, np.uint64(0x9E3779B97F4A7C15), out=b)
-            np.add(b, np.uint64(12345), out=b)
-
-    alu()
-    out["alu"] = min(_t(alu) for _ in range(3))
-    # stream 30 MB sum
-    n4 = (30 << 20) // 8
-    s4 = np.arange(n4, dtype=np.uint64)
-    s4.sum()
-    out["stream30"] = min(_t(lambda: s4.sum()) for _ in range(3))
-    return out
-
-
-def _t(fn) -> float:
-    t0 = time.perf_counter()
-    fn()
-    return time.perf_counter() - t0
-
-
-def _kernels(seed: int) -> dict:
-    import numpy as np
-    import pyarrow as pa
-
-    from nem_mms_spark import framing
-    from nem_mms_spark.datagen.webpages import generate_pages
-    from nem_mms_spark.selector import ColumnContext, select_and_encode
-
-    pdf = generate_pages(np.arange(seed * 16384, (seed + 1) * 16384))
-    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-    cols = {}
-    for name in tbl.column_names:
-        arr = tbl.column(name).combine_chunks()
-        values, dtype, *_r = framing.to_kernel(arr)
-        cols[name] = (values, dtype, _r[-1])
-    out = {}
-    for rep in range(1 + REPS):  # rep 0 = warm
-        for name, (values, dtype, nb) in cols.items():
-            ctx = ColumnContext()
-            t0 = time.perf_counter()
-            select_and_encode(values, dtype, ctx)
-            dt = time.perf_counter() - t0
-            if rep:
-                key = f"col:{name}"
-                out[key] = min(out.get(key, 1e9), dt)
-                out[f"mb:{name}"] = nb / 1e6
-    return out
-
-
-def _worker(seed: int, kind: str, q) -> None:
-    try:
-        os.sched_setaffinity(0, {seed % os.cpu_count()})
-    except OSError:
-        pass
-    res = _controls(seed) if kind == "controls" else _kernels(seed)
-    q.put(res)
-
-
-def run_level(k: int, kind: str) -> dict:
-    q = mp.Queue()
-    ps = [mp.Process(target=_worker, args=(i, kind, q)) for i in range(k)]
-    [p.start() for p in ps]
-    res = [q.get() for _ in ps]
-    [p.join() for p in ps]
-    keys = res[0].keys()
-    return {key: sum(r[key] for r in res) / len(res) for key in keys}
+    os.makedirs(SHM, exist_ok=True)
+    return get_spark(
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+        app_name=f"prof_{cores}",
+        extra_conf={
+            "spark.local.dir": SHM,
+            "spark.driver.extraJavaOptions": "-XX:+UseParallelGC -XX:ParallelGCThreads=4",
+        },
+    )
 
 
 def main() -> None:
-    results = {}
-    for kind in ("controls", "kernels"):
-        for k in (8, 32):
-            results[(kind, k)] = run_level(k, kind)
-    print(f"{'task':<22}{'K=8 (s)':>12}{'K=32 (s)':>12}{'eff 8->32':>12}")
-    rows = {}
-    for kind in ("controls", "kernels"):
-        for key in results[(kind, 8)]:
-            if key.startswith("mb:"):
-                continue
-            t8 = results[(kind, 8)][key]
-            t32 = results[(kind, 32)][key]
-            eff = t8 / t32  # perfect scaling => t32 == t8 => eff 1.0
-            rows[key] = {"t8": round(t8, 4), "t32": round(t32, 4),
-                         "eff": round(eff, 3)}
-            print(f"{key:<22}{t8:>12.4f}{t32:>12.4f}{eff:>12.3f}")
-    for key in results[("kernels", 8)]:
-        if key.startswith("mb:"):
-            rows[key] = round(results[("kernels", 8)][key], 2)
-    print(json.dumps(rows))
+    from bench import _membw_quick, _warm_up
+
+    from nem_mms_spark.datagen import web_pages_df
+    from nem_mms_spark.jobs.encode import encode_parquet
+
+    src = os.path.join(SHM, "web_pages")
+    if not os.path.isdir(src):
+        spark = new_spark(32)
+        web_pages_df(spark, ROWS, num_partitions=64).write.mode(
+            "overwrite"
+        ).parquet(src)
+        spark.stop()
+
+    out = os.path.join(SHM, "enc")
+    results = []
+    for sess in range(2):
+        for cores in LEVELS:
+            bw = _membw_quick(cores)
+            spark = new_spark(cores)
+            _warm_up(spark, src)
+            shutil.rmtree(out, ignore_errors=True)
+            encode_parquet(spark, src, out, resume=False)  # untimed warm
+            for rep in range(REPS):
+                shutil.rmtree(out, ignore_errors=True)
+                t0 = time.monotonic()
+                m = encode_parquet(spark, src, out, resume=False)
+                wall = time.monotonic() - t0
+                rec = {
+                    "sess": sess,
+                    "cores": cores,
+                    "rep": rep,
+                    "wall_s": round(wall, 3),
+                    "membw_gb_s": bw,
+                    "task_encode_s_sum": m["task_encode_s_sum"],
+                    "stage_s": m["task_stage_s"],
+                }
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+            spark.stop()
+
+    # per-level best (min) per stage across all reps
+    print("\n=== summed task seconds per stage, min across reps ===")
+    stages = sorted({k for r in results for k in r["stage_s"]})
+    best = {}
+    for cores in LEVELS:
+        recs = [r for r in results if r["cores"] == cores]
+        best[cores] = {
+            s: min(r["stage_s"].get(s, 0.0) for r in recs) for s in stages
+        }
+        # stall seconds = wall not spent on-CPU (faults + preemption),
+        # from the rep with the minimal stall (paired within a rep)
+        def _stall(r):
+            body_wall = sum(
+                r["stage_s"].get(k, 0.0)
+                for k in ("fprint", "kernel", "encode", "zstats", "build", "write")
+            )
+            return (
+                r["stage_s"].get("read", 0.0)
+                - r["stage_s"].get("c_read_cpu", 0) / 1e9,
+                body_wall - r["stage_s"].get("c_cpu", 0) / 1e9,
+            )
+        stalls = [_stall(r) for r in recs]
+        best[cores]["READ_STALL"] = min(s[0] for s in stalls)
+        best[cores]["BODY_STALL"] = min(s[1] for s in stalls)
+        best[cores]["TOTAL_encode_ns"] = min(
+            r["task_encode_s_sum"] for r in recs
+        )
+        best[cores]["WALL"] = min(r["wall_s"] for r in recs)
+    hdr = f"{'stage':>16} " + " ".join(f"{c:>12}" for c in LEVELS) + "  ratio"
+    print(hdr)
+    for s in stages + ["READ_STALL", "BODY_STALL", "TOTAL_encode_ns", "WALL"]:
+        lo, hi = best[LEVELS[0]][s], best[LEVELS[1]][s]
+        if s.startswith("c_") and not s.endswith("cpu"):
+            lo, hi = float(lo), float(hi)
+        elif s.startswith("c_"):
+            lo, hi = lo / 1e9, hi / 1e9
+        ratio = hi / lo if lo else float("nan")
+        print(f"{s:>16} {lo:>12.2f} {hi:>12.2f}  {ratio:.3f}")
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()
