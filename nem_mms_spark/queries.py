@@ -493,22 +493,32 @@ def embedding_pairs_recall(spark, sf_dir):
 
 
 def multimodal_image_meta(spark, sf_dir):
-    """Fake-image decode plumbing: derive deterministic image blobs from
-    documents, run the Arrow-batched metadata extractor.  The extracted
-    metadata is a pure function of (doc_id, n_chars), so a SQL oracle can
-    compute the expected rows directly — checking the whole blob
-    build -> mapInPandas decode path end to end."""
+    """Image decode plumbing over a format MIX: deterministic blobs
+    derived from documents rotate through real PNG (built + parsed from
+    actual PNG bytes: signature, IHDR, stored-deflate IDAT), real 24-bit
+    BMP, and the fake fixture format by doc_id % 3; the Arrow-batched
+    extractor parses each from its header bytes.  Every output column —
+    including total n_bytes, which for PNG/BMP follows from the format's
+    framing arithmetic — is a pure function of (doc_id, n_chars), so a
+    SQL oracle recomputes the expected rows exactly, checking the whole
+    blob build -> mapInPandas header-parse path end to end."""
     from nem_mms_spark.functions import multimodal as MM
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
 
     def attach(batches):
+        builders = (MM.make_fake_image, MM.make_png, MM.make_bmp)
         for pdf in batches:
             pdf = pdf[["doc_id", "n_chars"]].copy()
-            pdf["image"] = [
-                MM.make_fake_image(8 + int(c) % 16, 8, 3, seed=int(i))
-                for i, c in zip(pdf["doc_id"], pdf["n_chars"])
-            ]
+            blobs = []
+            for i, c in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 8 + int(c) % 16
+                b = builders[int(i) % 3]
+                blobs.append(
+                    b(w, 8, seed=int(i)) if b is not MM.make_fake_image
+                    else b(w, 8, 3, seed=int(i))
+                )
+            pdf["image"] = blobs
             yield pdf[["doc_id", "image"]]
 
     imgs = d.mapInPandas(attach, schema="doc_id long, image binary")
@@ -934,12 +944,23 @@ ORACLE_SQL = {
                CAST(0 AS BIGINT) AS n_below_floor
     """,
     "multimodal_image_meta": """
+        -- formats rotate by doc_id % 3; n_bytes follows each format's
+        -- framing arithmetic: fake = 20-byte header + w*h*3 pixels;
+        -- png = 8 sig + 25 IHDR + 12 IDAT overhead + stored-deflate
+        -- (raw + 11 for raw < 64KiB) + 12 IEND, raw = h*(1+3w);
+        -- bmp = 54 headers + h * 4-byte-aligned 24bpp rows
         SELECT doc_id,
                CAST(8 + n_chars % 16 AS INTEGER) AS width,
                CAST(8 AS INTEGER) AS height,
                CAST(3 AS INTEGER) AS channels,
-               CAST(20 + (8 + n_chars % 16) * 24 AS BIGINT) AS n_bytes,
-               'fake' AS format
+               CAST(CASE doc_id % 3
+                 WHEN 0 THEN 20 + (8 + n_chars % 16) * 24
+                 WHEN 1 THEN 68 + 8 * (1 + 3 * (8 + n_chars % 16))
+                 ELSE 54 + 8 * (((3 * (8 + n_chars % 16) + 3) // 4) * 4)
+               END AS BIGINT) AS n_bytes,
+               CASE doc_id % 3
+                 WHEN 0 THEN 'fake' WHEN 1 THEN 'png' ELSE 'bmp'
+               END AS format
         FROM documents WHERE doc_id < 200
     """,
     "zonemap_range_scan": """

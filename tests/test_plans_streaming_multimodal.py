@@ -140,11 +140,56 @@ def test_multimodal_feature_extraction(spark):
     assert all(len(r["features"]) == 4 for r in feats)
 
 
+def test_multimodal_real_formats_metadata_and_pixels(spark):
+    """Real-format decode (round-4 verdict item 6): PNG/GIF/BMP headers
+    parse from raw bytes, and PNG/BMP pixel decode is real — features
+    computed from actual inflated/unfiltered pixels, verified against
+    the generator's seeded pixel stream."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "image": [
+                MM.make_png(6, 4, seed=5),
+                MM.make_bmp(6, 4, seed=5),
+                MM.make_gif(6, 4, seed=5),
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    meta = {r["doc_id"]: r for r in MM.decode_image_meta(df).collect()}
+    for i, fmt in ((1, "png"), (2, "bmp"), (3, "gif")):
+        assert meta[i]["format"] == fmt
+        assert meta[i]["width"] == 6 and meta[i]["height"] == 4
+        assert meta[i]["channels"] == 3
+    # PNG features come from the REAL decoded pixels
+    feats = {
+        r["doc_id"]: r["features"]
+        for r in MM.extract_features(
+            df.filter(df.doc_id < 3), n_features=2
+        ).collect()
+    }
+    expect_png = np.random.default_rng(5).integers(
+        0, 256, size=(4, 18), dtype=np.uint8
+    ).ravel()
+    chunks = np.array_split(expect_png, 2)
+    assert feats[1] == pytest.approx([float(c.mean()) for c in chunks])
+    assert len(feats[2]) == 2  # bmp decodes too
+
+
 def test_multimodal_unknown_format_raises(spark):
     import pandas as pd
 
     df = spark.createDataFrame(
-        pd.DataFrame({"doc_id": [1], "image": [b"\x89PNG fake header"]})
+        pd.DataFrame({"doc_id": [1], "image": [b"\x00NOTANIMAGE"]})
     )
-    with pytest.raises(Exception, match="NotImplementedError|not available"):
+    with pytest.raises(Exception, match="unknown image format"):
         MM.extract_features(df).collect()
+    # gif is metadata-only: pixel decode refuses clearly
+    gdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "image": [MM.make_gif(3, 3)]})
+    )
+    with pytest.raises(Exception, match="metadata only"):
+        MM.extract_features(gdf).collect()
