@@ -895,8 +895,49 @@ def main() -> None:
         # repo, stdout stays a summary
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/results.json", "w") as f:
-            json.dump(payload, f, indent=1, sort_keys=True)
-        print(json.dumps(payload))
+            # NOT sort_keys: probe dicts mix int levels (8, 32) with str
+            # summary keys, and sorted() on mixed keys raises TypeError
+            # (this exact crash ate the r5.0 run's results.json)
+            json.dump(payload, f, indent=1)
+        # stdout: ONE compact line that fits whole inside a 2000-char
+        # tail capture (the r4 failure mode: printing the full payload
+        # left only a mid-object slice in BENCH_r04.json).  Gates +
+        # per-query walls here; everything else in BENCH/results.json.
+        sd = enc["source_direct_per_parallelism"]
+        lo, hi = SCALING_MASTERS
+        summary = {
+            "metric": "encode+queries wall time",
+            "value": total,
+            "unit": "sec",
+            "sf": SF_DIR.rstrip("/").split("sf")[-1],
+            "queries": queries,
+            "encode": {
+                "gb_per_s": {str(p): sd[p]["gb_per_s"] for p in sd},
+                "scaling_efficiency": enc["scaling_efficiency"],
+                "eff_vs_cpu_probe": enc["efficiency_vs_cpu_probe"],
+                "eff_vs_matched_probe": enc["efficiency_vs_matched_probe"],
+                "eff_vs_box_ceiling": enc["efficiency_vs_box_ceiling"],
+                "in_job_kernel_ratio": enc[
+                    "in_job_kernel_time_ratio_hi_over_lo"],
+                "in_job_kernel_ratio_cpu_norm": enc[
+                    "in_job_kernel_time_ratio_cpu_normalized"],
+                "salted_paired_ratio": enc[
+                    "salted_vs_source_direct_paired"]["median"],
+                "size_vs_reference_parquet": enc[
+                    "size_vs_reference_parquet"],
+                "decode_gb_per_s": enc["decode"]["gb_per_s"],
+            },
+            "full_results": "BENCH/results.json",
+        }
+        line = json.dumps(summary)
+        if len(line) > 1900:  # belt and braces: never exceed the capture
+            summary["queries"] = {
+                k: v for k, v in sorted(
+                    queries.items(), key=lambda kv: -kv[1])[:10]
+            }
+            summary["queries_truncated_see_full_results"] = True
+            line = json.dumps(summary)
+        print(line)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree("/dev/shm/nem_mms_bench", ignore_errors=True)

@@ -512,8 +512,15 @@ def encode_parquet(
                     rr0 = _res.getrusage(_res.RUSAGE_SELF)
                     rc0 = time.process_time_ns()
                     tr = time.monotonic_ns()
+                    # buffered read by default: with the warm system-pool
+                    # heap, read() lands in recycled resident pages,
+                    # while mmap costs per-call mapping faults AND a
+                    # munmap TLB shootdown that IPIs every busy core
+                    # (anti-scales at full subscription; measured r5)
                     tbl = pq.read_table(
-                        path, columns=src_cols, memory_map=True
+                        path, columns=src_cols,
+                        memory_map=os.environ.get(
+                            "NEM_MMS_MMAP_READ", "0") == "1",
                     )
                     if sort_cols:
                         tbl = tbl.sort_by(
@@ -597,12 +604,43 @@ def _tune_worker() -> None:
     """
     import pyarrow as _pa
 
+    # one IO thread per task to match the one compute thread: the
+    # default 8-thread IO pool per worker process (32 workers x 8 =
+    # 256 threads) oversubscribes the box during parquet scans
     try:
-        _pa.jemalloc_set_decay_ms(
-            int(os.environ.get("NEM_MMS_JEMALLOC_DECAY_MS", "300000"))
-        )
-    except (NotImplementedError, AttributeError):
-        pass  # non-jemalloc build
+        _pa.set_io_thread_count(1)
+    except (AttributeError, ValueError):
+        pass
+    pool = os.environ.get("NEM_MMS_ARROW_POOL", "system")
+    if pool == "system" and not getattr(_tune_worker, "_pool_set", False):
+        # Route ALL pyarrow allocations (scan, serialization, framing)
+        # through glibc malloc with trim/mmap disabled: freed blocks stay
+        # on the warm heap and are recycled without refaulting.  Measured
+        # (r5): the jemalloc default pool re-faulted ~1 M pages per
+        # encode pass inside parquet serialization alone, and fault
+        # SERVICE cost anti-scales brutally at 32-way concurrency
+        # (contended kernel page/LRU/memcg locks burn ~77x more CPU for
+        # the same work than at 8-way).  A long-lived executor's steady
+        # state is a warm resident heap; this makes the python workers
+        # reach it.  mallopt via ctypes so it works even when the
+        # MALLOC_* env vars weren't exported to the worker.
+        try:
+            import ctypes
+
+            libc = ctypes.CDLL(None, use_errno=True)
+            libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD: never trim
+            libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD: never mmap
+        except (OSError, AttributeError):
+            pass
+        _pa.set_memory_pool(_pa.system_memory_pool())
+        _tune_worker._pool_set = True
+    elif pool != "system":
+        try:
+            _pa.jemalloc_set_decay_ms(
+                int(os.environ.get("NEM_MMS_JEMALLOC_DECAY_MS", "300000"))
+            )
+        except (NotImplementedError, AttributeError):
+            pass  # non-jemalloc build
     if os.environ.get("NEM_MMS_PIN_WORKERS", "1") != "0":
         _pin_to_slot()
 
@@ -674,7 +712,9 @@ SUMMARY_SCHEMA = (
 # a guess into a recorded number.
 STAGE_KEYS = (
     "read", "fprint", "kernel", "encode", "zstats", "build", "write",
+    "wser", "wio",
     "c_cpu", "c_minflt", "c_nivcsw",
+    "c_wser_cpu", "c_wser_minflt", "c_wser_nivcsw",
     "c_read_cpu", "c_read_minflt", "c_read_nivcsw",
 )
 
@@ -687,24 +727,33 @@ _BLOCK_STAT_COLS = [
 ]
 
 
-def _atomic_write(table: pa.Table, dest: str, stat_cols=None) -> None:
-    """Task-side parquet commit: write to a dot-prefixed temp (invisible
-    to Spark and pyarrow dataset listings), then os.replace — a retried
-    or speculative task attempt re-produces identical bytes so
+def _atomic_write(
+    table: pa.Table, dest: str, stat_cols=None, stage: dict | None = None
+) -> None:
+    """Task-side parquet commit: serialize the WHOLE file into one
+    in-memory buffer, then one open/write/close to a dot-prefixed temp
+    (invisible to Spark and pyarrow dataset listings) and os.replace —
+    a retried or speculative task attempt re-produces identical bytes so
     last-replace-wins is safe.  Determinism holds on every branch:
     unshuffled branches encode rows in input order, and shuffled
     branches sort within partitions with a whole-row-hash tiebreaker
     (a TOTAL order — ties only between bit-identical rows, whose swap
-    leaves the bytes unchanged).  On an object store this is a single
-    PUT."""
+    leaves the bytes unchanged).  Buffer-then-single-write is the
+    object-store shape (one PUT) and also decomposes the in-task `write`
+    stage into `wser` (parquet serialization, pure CPU+allocator) vs
+    `wio` (file syscalls) so contention at high concurrency is
+    attributable.  When ``stage`` is given those two keys are summed
+    into it."""
+    import resource as _res
+
     import pyarrow.parquet as pq
 
-    os.makedirs(os.path.dirname(dest), exist_ok=True)
-    tmp = os.path.join(
-        os.path.dirname(dest), f".{os.path.basename(dest)}.{os.getpid()}.tmp"
-    )
+    t0 = time.monotonic_ns()
+    r0 = _res.getrusage(_res.RUSAGE_SELF)
+    c0 = time.process_time_ns()
+    sink = pa.BufferOutputStream()
     pq.write_table(
-        table, tmp, compression="NONE",
+        table, sink, compression="NONE",
         write_statistics=stat_cols if stat_cols is not None else True,
         # payload blobs are already codec-compressed: parquet's own
         # dictionary pass over them is pure overhead (measured ~28% of
@@ -712,7 +761,31 @@ def _atomic_write(table: pa.Table, dest: str, stat_cols=None) -> None:
         use_dictionary=False,
         data_page_size=4 << 20,
     )
+    buf = sink.getvalue()
+    c1 = time.process_time_ns()
+    r1 = _res.getrusage(_res.RUSAGE_SELF)
+    t1 = time.monotonic_ns()
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    tmp = os.path.join(
+        os.path.dirname(dest), f".{os.path.basename(dest)}.{os.getpid()}.tmp"
+    )
+    fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+    try:
+        os.write(fd, buf)
+    finally:
+        os.close(fd)
     os.replace(tmp, dest)
+    if stage is not None:
+        t2 = time.monotonic_ns()
+        stage["wser"] = stage.get("wser", 0) + (t1 - t0)
+        stage["wio"] = stage.get("wio", 0) + (t2 - t1)
+        stage["c_wser_cpu"] = stage.get("c_wser_cpu", 0) + (c1 - c0)
+        stage["c_wser_minflt"] = (
+            stage.get("c_wser_minflt", 0) + r1.ru_minflt - r0.ru_minflt
+        )
+        stage["c_wser_nivcsw"] = (
+            stage.get("c_wser_nivcsw", 0) + r1.ru_nivcsw - r0.ru_nivcsw
+        )
 
 
 def _make_encoder(
@@ -848,7 +921,7 @@ def _encode_partition_table(
     stage["build"] += tw - tb
     _atomic_write(
         blocks_tbl, os.path.join(blocks_dir, part_dir, "data.parquet"),
-        stat_cols=_BLOCK_STAT_COLS,
+        stat_cols=_BLOCK_STAT_COLS, stage=stage,
     )
     tb = clk()
     stage["write"] += tb - tw
@@ -908,7 +981,8 @@ def _encode_partition_table(
     tw = clk()
     stage["build"] += tw - tb
     _atomic_write(
-        man_tbl, os.path.join(manifest_dir, part_dir, "data.parquet")
+        man_tbl, os.path.join(manifest_dir, part_dir, "data.parquet"),
+        stage=stage,
     )
     stage["write"] += clk() - tw
     ru1 = resource.getrusage(resource.RUSAGE_SELF)
