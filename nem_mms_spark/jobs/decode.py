@@ -203,6 +203,9 @@ def decode_blocks(
     if engine == "pandas":
 
         def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            from nem_mms_spark.jobs.encode import _tune_worker
+
+            _tune_worker()
             n = int(pdf["value_count"].iloc[0])
             if not (pdf["value_count"] == n).all():
                 raise ValueError(
@@ -247,6 +250,9 @@ def decode_blocks(
     group_cols = meta_cols + ["payload", "validity"]
 
     def decode_stream(batches):
+        from nem_mms_spark.jobs.encode import _tune_worker
+
+        _tune_worker()  # warm system-pool heap + pinning, same as encode
         buf: list[tuple] = []
         cur = None
 

@@ -512,16 +512,24 @@ def encode_parquet(
                     rr0 = _res.getrusage(_res.RUSAGE_SELF)
                     rc0 = time.process_time_ns()
                     tr = time.monotonic_ns()
-                    # buffered read by default: with the warm system-pool
-                    # heap, read() lands in recycled resident pages,
-                    # while mmap costs per-call mapping faults AND a
-                    # munmap TLB shootdown that IPIs every busy core
-                    # (anti-scales at full subscription; measured r5)
+                    # fetch-then-parse: one big os.read pulls the file
+                    # bytes (object-store GET shape), then the parquet
+                    # decode runs from memory on the task's own thread.
+                    # Beats both mmap (per-call mapping faults + munmap
+                    # TLB shootdowns that IPI every busy core) and
+                    # arrow's own buffered reads (chunked syscalls +
+                    # an IO-thread hop per column chunk); with the warm
+                    # system-pool heap the fetch buffer is recycled
+                    # across files.  Sub-stages `rfetch`/`rparse` keep
+                    # scan contention attributable at high concurrency.
+                    with open(path, "rb", buffering=0) as fh:
+                        raw_buf = fh.read()
+                    tf = time.monotonic_ns()
                     tbl = pq.read_table(
-                        path, columns=src_cols,
-                        memory_map=os.environ.get(
-                            "NEM_MMS_MMAP_READ", "0") == "1",
+                        _pa.BufferReader(raw_buf), columns=src_cols
                     )
+                    del raw_buf
+                    ts = time.monotonic_ns()
                     if sort_cols:
                         tbl = tbl.sort_by(
                             [
@@ -534,6 +542,10 @@ def encode_parquet(
                     rr1 = _res.getrusage(_res.RUSAGE_SELF)
                     read_stats = {
                         "read": read_ns,
+                        "rfetch": tf - tr,
+                        "rparse": ts - tf,
+                        # sort sub-stage (the take/gather half of `read`)
+                        "rsort": read_ns - (ts - tr),
                         "c_read_cpu": time.process_time_ns() - rc0,
                         "c_read_minflt": rr1.ru_minflt - rr0.ru_minflt,
                         "c_read_nivcsw": rr1.ru_nivcsw - rr0.ru_nivcsw,
@@ -711,8 +723,8 @@ SUMMARY_SCHEMA = (
 # per partition and turn "which stage contends at 4x concurrency" from
 # a guess into a recorded number.
 STAGE_KEYS = (
-    "read", "fprint", "kernel", "encode", "zstats", "build", "write",
-    "wser", "wio",
+    "read", "rfetch", "rparse", "rsort", "fprint", "kernel", "encode",
+    "zstats", "build", "write", "wser", "wio",
     "c_cpu", "c_minflt", "c_nivcsw",
     "c_wser_cpu", "c_wser_minflt", "c_wser_nivcsw",
     "c_read_cpu", "c_read_minflt", "c_read_nivcsw",
