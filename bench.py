@@ -866,10 +866,11 @@ def _hw_narrative(enc: dict) -> str:
         f"({enc['kernel_warm_scaling'][8]['aggregate_mb_s']} -> "
         f"{enc['kernel_warm_scaling'][32]['aggregate_mb_s']} MB/s). "
         f"Wall efficiency {enc['scaling_efficiency']} normalizes to "
-        f"**{enc['efficiency_vs_cpu_probe']} vs the ALU probe**, "
-        f"{enc['efficiency_vs_matched_probe']} vs the session-matched "
-        f"memcpy probe, and **{enc['efficiency_vs_box_ceiling']} vs the "
-        "box ceiling** (min of the two probes per session). "
+        f"**{round(enc['efficiency_vs_cpu_probe'], 4)} vs the ALU "
+        f"probe**, {round(enc['efficiency_vs_matched_probe'], 4)} vs "
+        "the session-matched memcpy probe, and "
+        f"**{round(enc['efficiency_vs_box_ceiling'], 4)} vs the box "
+        "ceiling** (min of the two probes per session). "
     )
     worst = max(cpu_infl)
     if worst > 1.1:
