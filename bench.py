@@ -899,6 +899,22 @@ def _hw_narrative(enc: dict) -> str:
 def write_baseline_md(enc: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lo, hi = SCALING_MASTERS
+
+    def _intkeys(d):
+        return {
+            (int(k) if isinstance(k, str) and k.lstrip("-").isdigit() else k): v
+            for k, v in d.items()
+        }
+
+    # tolerate a dict that round-tripped through JSON (string int keys) —
+    # lets BASELINE.md be regenerated from BENCH/results.json
+    for key in (
+        "source_direct_per_parallelism", "salted_per_cores",
+        "in_job_task_kernel_s", "pipeline_warm_scaling",
+        "kernel_warm_scaling", "membw_probe",
+    ):
+        if key in enc:
+            enc[key] = _intkeys(enc[key])
     r = enc["source_direct_per_parallelism"]
     s = enc["salted_per_cores"]
     ij = enc["in_job_task_kernel_s"]
