@@ -653,6 +653,18 @@ def _tune_worker() -> None:
             )
         except (NotImplementedError, AttributeError):
             pass  # non-jemalloc build
+    nice = int(os.environ.get("NEM_MMS_WORKER_NICE", "0"))
+    if nice and not getattr(_tune_worker, "_niced", False):
+        # raise worker CFS weight over the co-resident JVM's housekeeping
+        # threads: at full subscription every core hosts a pinned busy
+        # worker, and any JVM wakeup (GC, netty, task reaper) preempts
+        # one — a negative nice makes the scheduler give the worker its
+        # core back immediately (requires privilege; ignored without it)
+        try:
+            os.nice(nice)
+        except OSError:
+            pass
+        _tune_worker._niced = True
     if os.environ.get("NEM_MMS_PIN_WORKERS", "1") != "0":
         _pin_to_slot()
 
