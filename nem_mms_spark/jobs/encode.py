@@ -388,18 +388,29 @@ def encode_parquet(
     block_bytes: int = framing.DEFAULT_BLOCK_BYTES,
     resume: bool = True,
     parallelism: int | None = None,
+    tasks_per_slot: int = 4,
 ) -> dict:
     """SOURCE-DIRECT encode of a parquet/Iceberg-style table directory:
     the scan happens INSIDE the Arrow task.
 
-    ``parallelism``: cap on concurrent tasks via LPT bin-packing — the
-    file list is packed into this many bins (biggest file to the
-    least-loaded bin), one Spark task per bin, files encoded
-    sequentially within a task.  Fewer-but-bigger tasks amortize
-    per-task overhead and equalize bin loads better than one-file
-    tasks racing in waves (the makespan tail); it is also how the
-    bench runs two parallelism levels inside ONE session, so the
-    N-vs-4N comparison shares a single hypervisor noise window.
+    ``parallelism``: cap on CONCURRENT tasks.  ``tasks_per_slot``: how
+    many tasks (LPT bins) to cut per concurrency slot.  With the default
+    4, the file list is packed into ``4 * parallelism`` bins (biggest
+    file to the least-loaded bin) and concurrency is held at
+    ``parallelism`` — the standard tasks-per-core > 1 cluster sizing, so
+    a straggling task is backfilled by the remaining bins instead of
+    extending the makespan one-for-one.  (r5 ran ONE bin per slot; with
+    zero slack the makespan was the slowest bin, and any hypervisor or
+    JVM-housekeeping preemption of one pinned worker extended the job
+    wall directly — measured as the reproducible ~0.62 in-Spark/probe
+    throughput ratio at 32-way.  Multi-wave backfill is the fix.)
+
+    When the session has more executor slots than ``parallelism`` (the
+    bench pairs parallelism=8 and 32 inside one local[32] session so
+    both levels share every noise window), concurrency is enforced by a
+    flock-based gate: each task holds one of ``parallelism`` slot locks
+    for its working duration.  Kernel-released on process death, so a
+    failed task can never leak a slot.
     Output layout and part ids are unchanged (still one blocks/manifest
     dir per source file).
 
@@ -472,20 +483,37 @@ def encode_parquet(
     blocks_dir = os.path.join(out_dir, M.BLOCKS_DIR)
     manifest_dir = os.path.join(out_dir, M.MANIFEST_DIR)
     summaries = []
+    gate_dir = None
+    gate_slots = 0
     if splits:
-        if parallelism and parallelism < len(splits):
+        n_bins = len(splits)
+        if parallelism:
+            n_bins = min(len(splits), parallelism * max(tasks_per_slot, 1))
+            if n_bins > parallelism:
+                # concurrency must be enforced below the task count: a
+                # session with more slots than `parallelism` would run
+                # every bin at once.  One gate dir per job run.
+                gate_slots = parallelism
+                gate_dir = os.path.join(
+                    "/dev/shm/nem_mms_gate",
+                    f"{os.getpid()}_{time.monotonic_ns()}",
+                )
+        if n_bins < len(splits):
             # LPT bin-packing: splits are already sorted biggest-first;
             # each goes to the least-loaded bin, one Spark partition
             # (= one task) per bin
             sizes = {p: os.path.getsize(p) for _i, p in splits}
-            bins: list[list] = [[] for _ in range(parallelism)]
-            loads = [0] * parallelism
+            bins: list[list] = [[] for _ in range(n_bins)]
+            loads = [0] * n_bins
             for s in splits:
                 j = loads.index(min(loads))
                 bins[j].append(s)
                 loads[j] += sizes[s[1]]
+            # biggest bins first: under gated/backfilled scheduling the
+            # heaviest work should enter the machine in the first wave
+            bins.sort(key=lambda b: -sum(sizes[p] for _i, p in b))
             rdd = spark.sparkContext.parallelize(
-                bins, parallelism
+                bins, n_bins
             ).flatMap(lambda b: b)
         else:
             rdd = spark.sparkContext.parallelize(splits, len(splits))
@@ -501,6 +529,16 @@ def encode_parquet(
             # 32 reader threads), destroying scaling
             _pa.set_cpu_count(1)
             _tune_worker()
+            gate_fd = _acquire_gate(gate_dir, gate_slots)
+            try:
+                yield from _encode_file_batches(batches)
+            finally:
+                _release_gate(gate_fd)
+
+        def _encode_file_batches(batches) -> Iterator[pa.RecordBatch]:
+            import pyarrow as _pa
+            import pyarrow.parquet as pq
+
             for batch in batches:
                 pids = batch.column("part_id").to_pylist()
                 paths = batch.column("path").to_pylist()
@@ -553,13 +591,21 @@ def encode_parquet(
                     yield _encode_partition_table(
                         pid, tbl, block_rows, block_bytes, key_col,
                         blocks_dir, manifest_dir, read_ns=read_stats,
+                        t_start_ns=tr,
                     )
 
         _t_job = time.monotonic()
+        _t_job_ns = time.monotonic_ns()
         summaries = sdf.mapInArrow(encode_files, SUMMARY_SCHEMA).collect()
         _t_collect = time.monotonic()
+        _t_collect_ns = time.monotonic_ns()
+        if gate_dir:
+            import shutil as _sh
+
+            _sh.rmtree(gate_dir, ignore_errors=True)
     else:
         _t_job = _t_collect = time.monotonic()
+        _t_job_ns = _t_collect_ns = time.monotonic_ns()
 
     ckpt_rows = sorted(
         (
@@ -589,7 +635,29 @@ def encode_parquet(
         "job": round(_t_collect - _t_job, 3),
         "commit": round(time.monotonic() - _t_collect, 3),
     }
-    return {**totals, "skipped_parts": n_done, "driver_s": driver_s}
+    # per-task timeline relative to job submit (seconds): lets the bench
+    # decompose the job wall into work vs schedule tail per parallelism
+    # level (wave structure, stragglers, gate queueing)
+    timeline = sorted(
+        (
+            {
+                "part_id": r["part_id"],
+                "start_s": round((r["t_start_ns"] - _t_job_ns) / 1e9, 4),
+                "end_s": round((r["t_end_ns"] - _t_job_ns) / 1e9, 4),
+                "pid": r["worker_pid"],
+                "slot": r["cpu_slot"],
+            }
+            for r in summaries
+        ),
+        key=lambda r: r["start_s"],
+    )
+    return {
+        **totals,
+        "skipped_parts": n_done,
+        "driver_s": driver_s,
+        "job_wall_s": round((_t_collect_ns - _t_job_ns) / 1e9, 4),
+        "timeline": timeline,
+    }
 
 
 def _tune_worker() -> None:
@@ -604,6 +672,12 @@ def _tune_worker() -> None:
       serialize), which is exactly the in-job contention the round-4
       verdict flagged.  A long decay keeps a long-lived worker's arena
       resident — the steady state a real executor reaches anyway.
+      MEMORY SIZING NOTE: with trim/mmap disabled the worker's RSS pins
+      at its high-watermark (roughly the largest source file fetched +
+      its decoded table + the serialized output buffer, ~3x the biggest
+      file) for the life of the worker.  Size executor memory for
+      n_cores x that watermark, or set NEM_MMS_ARROW_POOL=jemalloc to
+      trade steady-state RSS for the re-fault cost on constrained boxes.
     * worker pinning (NEM_MMS_PIN_WORKERS=0 to disable): one worker per
       core removes CFS migration + sibling-preemption noise, the local
       stand-in for the cgroup cpuset a real cluster manager gives each
@@ -669,6 +743,45 @@ def _tune_worker() -> None:
         _pin_to_slot()
 
 
+def _acquire_gate(gate_dir: str | None, n_slots: int) -> int | None:
+    """Block until one of ``n_slots`` flock slot locks is free; return the
+    held fd (kernel-released on process death — a crashed task cannot leak
+    a slot).  The gate turns "N tasks on an M-slot session" into "at most
+    n_slots tasks WORKING at once, the rest queued" — the local stand-in
+    for a cluster manager's executor-slot count, which lets one session
+    run two parallelism levels back-to-back for paired benchmarking."""
+    if gate_dir is None or n_slots <= 0:
+        return None
+    import fcntl
+
+    os.makedirs(gate_dir, exist_ok=True)
+    fds = [
+        os.open(os.path.join(gate_dir, str(i)), os.O_CREAT | os.O_RDWR, 0o644)
+        for i in range(n_slots)
+    ]
+    try:
+        while True:
+            for fd in fds:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                except OSError:
+                    continue
+                for other in fds:
+                    if other != fd:
+                        os.close(other)
+                return fd
+            time.sleep(0.002)
+    except BaseException:
+        for fd in fds:
+            os.close(fd)
+        raise
+
+
+def _release_gate(fd: int | None) -> None:
+    if fd is not None:
+        os.close(fd)  # closing drops the flock
+
+
 _PIN_SLOT: list[int] | None = None
 
 
@@ -716,7 +829,8 @@ def _pin_to_slot(slot_dir: str = "/dev/shm/nem_mms_pin") -> None:
 SUMMARY_SCHEMA = (
     "part_id int, n_rows long, n_blocks long, n_columns int, "
     "raw_bytes long, encoded_bytes long, fingerprint long, encode_ns long, "
-    "stage_ns string"
+    "stage_ns string, t_start_ns long, t_end_ns long, worker_pid int, "
+    "cpu_slot int"
 )
 
 # per-stage in-task timing keys (stage_ns JSON map): `read` = source
@@ -795,7 +909,13 @@ def _atomic_write(
     )
     fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
     try:
-        os.write(fd, buf)
+        # os.write may be short (Linux caps a single write at ~2 GiB and
+        # POSIX allows short writes generally): loop until the whole
+        # buffer is on disk, else os.replace would publish a truncated
+        # parquet file with no error
+        mv = memoryview(buf)
+        while mv:
+            mv = mv[os.write(fd, mv):]
     finally:
         os.close(fd)
     os.replace(tmp, dest)
@@ -859,6 +979,7 @@ def _encode_partition_table(
     blocks_dir: str,
     manifest_dir: str,
     read_ns: int = 0,
+    t_start_ns: int | None = None,
 ) -> pa.RecordBatch:
     """Encode ONE partition's Arrow table: frame into blocks, run codec
     selection per column chunk, write the partition's blocks + manifest
@@ -1014,6 +1135,14 @@ def _encode_partition_table(
     stage["c_minflt"] = ru1.ru_minflt - ru0.ru_minflt
     stage["c_nivcsw"] = ru1.ru_nivcsw - ru0.ru_nivcsw
 
+    # per-task timeline: CLOCK_MONOTONIC is system-wide on Linux, so the
+    # driver can line every partition's [start, end] up on one axis and
+    # decompose the job wall into busy time vs schedule tail (wave/
+    # straggler structure) — the round-5 verdict's ask for per-task
+    # evidence of WHERE the 32-way wall goes
+    t_end = time.monotonic_ns()
+    t_start = t_start_ns if t_start_ns is not None else t0
+    slot = _PIN_SLOT[0] if _PIN_SLOT else -1
     return pa.RecordBatch.from_arrays(
         [
             pa.array([pid], type=pa.int32()),
@@ -1027,10 +1156,15 @@ def _encode_partition_table(
             pa.array(
                 [json.dumps(stage, separators=(",", ":"))], type=pa.string()
             ),
+            pa.array([t_start], type=pa.int64()),
+            pa.array([t_end], type=pa.int64()),
+            pa.array([os.getpid()], type=pa.int32()),
+            pa.array([slot], type=pa.int32()),
         ],
         names=[
             "part_id", "n_rows", "n_blocks", "n_columns", "raw_bytes",
             "encoded_bytes", "fingerprint", "encode_ns", "stage_ns",
+            "t_start_ns", "t_end_ns", "worker_pid", "cpu_slot",
         ],
     )
 
