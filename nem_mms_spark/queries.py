@@ -492,6 +492,44 @@ def embedding_pairs_recall(spark, sf_dir):
     )
 
 
+def ann_lsh_topk_precomputed(spark, sf_dir):
+    """The PRODUCTION ANN path under the hard oracle signal (round-5
+    verdict item 4): buckets come from ``materialize_buckets`` (one
+    zero-shuffle mapInArrow numpy matmul at ingest), the probe set from
+    the no-Spark numpy twin, and the result must hash-match the same
+    DuckDB replication as ``ann_lsh_topk`` — proving the persisted-bucket
+    engine path returns exactly what the oracle-parity fold path does."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    pre = similarity.materialize_buckets(emb, n_planes=6)
+    return similarity.lsh_topk(
+        emb, list(q), k=10, n_planes=6, precomputed=pre
+    ).select("vec_id")
+
+
+def banded_matmul_parity(spark, sf_dir):
+    """Engine-path parity as an oracle row (round-5 verdict item 4): the
+    matmul signature path (one zero-shuffle numpy matmul pass) must
+    produce the IDENTICAL banded candidate set as the fold path whose
+    float addition order the SQL oracle replicates bit-exactly.
+    ``n_sym_diff`` counts pairs in exactly one of the two sets — the
+    oracle pins it to 0, so any sign divergence between the engine path
+    and the oracle-parity path hash-mismatches; ``n_pairs`` is recomputed
+    independently by the oracle's own band replication."""
+    emb = _t(spark, sf_dir, "embeddings")
+    kw = dict(
+        n_bands=_PAIR_BANDS, band_bits=_PAIR_BAND_BITS, seed=_PAIR_SEED
+    )
+    fold = similarity.banded_candidate_pairs(emb, method="fold", **kw)
+    mm = similarity.banded_candidate_pairs(emb, method="matmul", **kw)
+    only_fold = fold.join(mm, ["vec_a", "vec_b"], "left_anti")
+    only_mm = mm.join(fold, ["vec_a", "vec_b"], "left_anti")
+    sym_diff = only_fold.unionByName(only_mm)
+    return fold.agg(F.count("*").alias("n_pairs")).crossJoin(
+        sym_diff.agg(F.count("*").alias("n_sym_diff"))
+    )
+
+
 def multimodal_image_meta(spark, sf_dir):
     """Image decode plumbing over a format MIX: deterministic blobs
     derived from documents rotate through real PNG (built + parsed from
@@ -523,6 +561,45 @@ def multimodal_image_meta(spark, sf_dir):
 
     imgs = d.mapInPandas(attach, schema="doc_id long, image binary")
     return MM.decode_image_meta(imgs)
+
+
+def multimodal_gif_pixels(spark, sf_dir):
+    """Real GIF pixel decode end to end (round-5 verdict item 6): each
+    document builds a GIF whose palette indices follow the closed-form
+    pattern p_i = (doc_id + i) % 2, through the REAL variable-width LZW
+    encoder; the decode side LZW-decodes and palette-maps the pixels and
+    reports the white-pixel count and the index-weighted white sum —
+    both pure functions of (doc_id, n_chars), so the SQL oracle
+    recomputes them exactly.  Any LZW bit error scrambles wsum."""
+    from nem_mms_spark.functions import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def build_and_decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "n_white": [], "wsum": []}
+            for i, c in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 8 + int(c) % 16
+                n = w * 8
+                px = ((int(i) + np.arange(n)) % 2).astype(np.uint8)
+                flat = MM._pixels(MM.make_gif(w, 8, pixels=px))
+                r = flat[0::3]
+                white = np.flatnonzero(r == 255)
+                out["doc_id"].append(int(i))
+                out["width"].append(w)
+                out["height"].append(8)
+                out["n_white"].append(len(white))
+                out["wsum"].append(int(white.sum()))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        build_and_decode,
+        schema="doc_id long, width int, height int, n_white long, wsum long",
+    )
 
 
 _ENCODE_CACHE: dict[tuple, str] = {}
@@ -680,7 +757,7 @@ def _banded_pairs_sql() -> str:
         "list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v))"
         " * sqrt(list_dot_product(eb.v, eb.v)))"
     )
-    return f"""
+    cte = f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
@@ -692,12 +769,28 @@ def _banded_pairs_sql() -> str:
             FROM sigs a JOIN sigs b
               ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
         )
+    """
+    return f"""{cte}
         SELECT vec_a, vec_b, round({cos}, 4) AS cosine
         FROM cand
         JOIN e ea ON cand.vec_a = ea.vec_id
         JOIN e eb ON cand.vec_b = eb.vec_id
         ORDER BY {cos} DESC, vec_a, vec_b
         LIMIT 20
+    """
+
+
+def _banded_parity_sql() -> str:
+    """Oracle for ``banded_matmul_parity``: the candidate-set SIZE is
+    recomputed by the same band replication `_banded_pairs_sql` uses, and
+    n_sym_diff is pinned to 0 — the Spark side must genuinely measure an
+    empty symmetric difference between the fold and matmul paths for the
+    value hash to match."""
+    full = _banded_pairs_sql()
+    cte = full[: full.rindex("SELECT vec_a")]
+    return f"""{cte}
+        SELECT COUNT(*) AS n_pairs, CAST(0 AS BIGINT) AS n_sym_diff
+        FROM cand
     """
 
 
@@ -778,10 +871,13 @@ QUERIES = {
     "minhash_lsh_recall": minhash_lsh_recall,
     "simhash_fingerprints": simhash_fingerprints,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_lsh_topk_precomputed": ann_lsh_topk_precomputed,
     "ann_lsh_recall": ann_lsh_recall,
     "embedding_cosine_pairs": embedding_cosine_pairs,
+    "banded_matmul_parity": banded_matmul_parity,
     "embedding_pairs_recall": embedding_pairs_recall,
     "multimodal_image_meta": multimodal_image_meta,
+    "multimodal_gif_pixels": multimodal_gif_pixels,
     "zonemap_range_scan": zonemap_range_scan,
     "encode_roundtrip_metrics": encode_roundtrip_metrics,
 }
@@ -932,7 +1028,25 @@ ORACLE_SQL = {
     """,
     "simhash_fingerprints": _simhash_sql(),
     "ann_lsh_topk": _ann_lsh_sql(),
+    "ann_lsh_topk_precomputed": _ann_lsh_sql(),
+    "multimodal_gif_pixels": """
+        -- pattern p_i = (doc_id + i) % 2 over n = 8*width pixels:
+        -- white pixels sit at odd (even doc_id) or even (odd doc_id)
+        -- indices -> n_white = n/2 = 4*width always; the index-weighted
+        -- white sum is sum of odd i < n = (n/2)^2, or of even i < n =
+        -- (n/2)(n/2 - 1)
+        SELECT doc_id,
+               CAST(8 + n_chars % 16 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height,
+               CAST(4 * (8 + n_chars % 16) AS BIGINT) AS n_white,
+               CAST(CASE WHEN doc_id % 2 = 0
+                 THEN (4 * (8 + n_chars % 16)) * (4 * (8 + n_chars % 16))
+                 ELSE (4 * (8 + n_chars % 16)) * (4 * (8 + n_chars % 16) - 1)
+               END AS BIGINT) AS wsum
+        FROM documents WHERE doc_id < 200
+    """,
     "embedding_cosine_pairs": _banded_pairs_sql(),
+    "banded_matmul_parity": _banded_parity_sql(),
     "ann_lsh_recall": """
         SELECT CAST(10 AS BIGINT) AS k,
                CAST(5 AS BIGINT) AS recall_floor,

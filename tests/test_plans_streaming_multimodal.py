@@ -187,9 +187,38 @@ def test_multimodal_unknown_format_raises(spark):
     )
     with pytest.raises(Exception, match="unknown image format"):
         MM.extract_features(df).collect()
-    # gif is metadata-only: pixel decode refuses clearly
+
+
+def test_gif_lzw_pixel_roundtrip():
+    """Real GIF LZW decode (round-5 verdict item 6): encode->decode
+    round-trips across dict growth (width bumps), the KwKwK case,
+    frozen-table streams past 4096 entries, and the seeded default."""
+    import numpy as np
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    rng = np.random.default_rng(3)
+    for w, h in [(1, 1), (3, 3), (6, 4), (64, 64), (255, 255), (500, 300)]:
+        px = rng.integers(0, 2, size=w * h, dtype=np.uint8)
+        dec = MM._gif_pixels(MM.make_gif(w, h, pixels=px))
+        assert np.array_equal(dec, pal[px].reshape(h, w * 3))
+    # long runs: deep prefix chains + pure-KwKwK all-same stream
+    px = ((np.arange(50 * 40) // 7) % 2).astype(np.uint8)
+    dec = MM._gif_pixels(MM.make_gif(50, 40, pixels=px))
+    assert np.array_equal(dec, pal[px].reshape(40, 150))
+    ones = MM._gif_pixels(MM.make_gif(25, 20, pixels=np.ones(500, np.uint8)))
+    assert np.array_equal(ones, np.full((20, 75), 255, np.uint8))
+
+
+def test_gif_features_from_real_pixels(spark):
+    import numpy as np
+    import pandas as pd
+
+    px = np.arange(6 * 4, dtype=np.uint8) % 2
     gdf = spark.createDataFrame(
-        pd.DataFrame({"doc_id": [1], "image": [MM.make_gif(3, 3)]})
+        pd.DataFrame({"doc_id": [1], "image": [MM.make_gif(6, 4, pixels=px)]})
     )
-    with pytest.raises(Exception, match="metadata only"):
-        MM.extract_features(gdf).collect()
+    feats = MM.extract_features(gdf, n_features=2).collect()[0]["features"]
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    expect = pal[px].reshape(-1)
+    chunks = np.array_split(expect, 2)
+    assert feats == pytest.approx([float(c.mean()) for c in chunks])

@@ -83,6 +83,123 @@ def test_deterministic_blocks_across_runs(spark, src, tmp_path):
     )
 
 
+def test_salted_direct_roundtrip_and_skew_routing(spark, src, tmp_path):
+    """SALTED-DIRECT hybrid (round-5 verdict item 2): hot url-host rows
+    spill to negative salt-bucket part ids and encode in a second
+    source-direct pass; the multiset of decoded rows is identical to the
+    plain source-direct encode, every hot bucket is right-sized, and the
+    gate/LPT plumbing carries through both passes."""
+    out = str(tmp_path / "salt")
+    m = encode_parquet(
+        spark, src, out, resume=False, parallelism=2,
+        partitioning="salted", min_hot_rows=500, hot_factor=0.5,
+    )
+    assert m["rows"] == N
+    # the Zipfian fixture has hot hosts above N/5 rows -> a real hot set
+    assert m["hot_keys"] >= 1 and m["hot_parts"] >= m["hot_keys"]
+    # negative (hot) part dirs exist on disk
+    hot_dirs = [
+        d for d in os.listdir(os.path.join(out, "blocks"))
+        if d.startswith("part_id=-")
+    ]
+    assert hot_dirs, "expected hot salt-bucket partitions"
+    # spill is cleaned up after full commit
+    assert not os.path.exists(os.path.join(out, "hot_spill"))
+    # decoded content identical to plain source-direct
+    dec = decode_blocks(spark, out)
+    s = spark.read.parquet(src)
+    key = F.md5(
+        F.concat_ws("|", "url", F.col("warc_ts").cast("string"),
+                    F.col("html").cast("string"), "text", "lang")
+    ).alias("h")
+    a = s.select(key).groupBy("h").count()
+    b = dec.select(key).groupBy("h").count()
+    assert dec.count() == N
+    assert a.join(b, ["h", "count"]).count() == a.count()
+    # no hot partition is oversized: every bucket <= ~target (with the
+    # 2% inflation margin and integer rounding slack)
+    import pyarrow.dataset as ds
+
+    t = ds.dataset(
+        os.path.join(out, "checkpoint"), format="parquet"
+    ).to_table(columns=["part_id", "n_rows"])
+    rows_by_part = dict(
+        zip(t.column("part_id").to_pylist(), t.column("n_rows").to_pylist())
+    )
+    target = N // 5
+    for pid, n in rows_by_part.items():
+        if pid < 0:
+            assert n <= target * 1.6, (pid, n, target)
+
+
+def test_decode_blocks_direct_matches_generic(spark, src, tmp_path):
+    """SOURCE-DIRECT decode (round-5 verdict item 5): zero-shuffle
+    per-part-dir decode returns exactly what the generic
+    JVM-scan+repartition engine returns — full table, column subsets,
+    part filters, and hybrid outputs with negative hot part ids."""
+    from nem_mms_spark.jobs.decode import decode_blocks_direct
+
+    out = str(tmp_path / "enc")
+    encode_parquet(spark, src, out, resume=False, partitioning="salted",
+                   min_hot_rows=500, hot_factor=0.5)
+
+    def sorted_pdf(df):
+        p = df.toPandas()
+        cols = sorted(p.columns)
+        return p[cols].sort_values(cols).reset_index(drop=True)
+
+    a = sorted_pdf(decode_blocks(spark, out))
+    b = sorted_pdf(decode_blocks_direct(spark, out))
+    assert a.equals(b)
+    # column subset + the gate path
+    c = decode_blocks_direct(
+        spark, out, columns=["url", "lang"], parallelism=2, tasks_per_slot=2
+    )
+    assert sorted(c.columns) == ["lang", "url"]
+    assert c.count() == N
+    # part filter (one negative hot id)
+    import os as _os
+
+    hot = [
+        int(d.split("=")[1])
+        for d in _os.listdir(_os.path.join(out, "blocks"))
+        if d.startswith("part_id=-")
+    ]
+    one = decode_blocks_direct(spark, out, parts=[hot[0]])
+    assert 0 < one.count() < N
+    # missing column raises
+    with pytest.raises(ValueError, match="not in manifest"):
+        decode_blocks_direct(spark, out, columns=["nope"])
+
+
+def test_salted_direct_resume_noop_and_content_determinism(
+    spark, src, tmp_path
+):
+    import pyarrow.dataset as ds
+
+    def content(root):
+        t = ds.dataset(root, format="parquet", partitioning="hive").to_table()
+        t = t.drop_columns(["encode_ns"])
+        return t.sort_by([("part_id", "ascending"), ("block_id", "ascending"),
+                          ("col_idx", "ascending")])
+
+    o1 = str(tmp_path / "s1")
+    o2 = str(tmp_path / "s2")
+    m1 = encode_parquet(spark, src, o1, resume=False, partitioning="salted",
+                        min_hot_rows=500, hot_factor=0.5)
+    m2 = encode_parquet(spark, src, o2, resume=False, partitioning="salted",
+                        min_hot_rows=500, hot_factor=0.5)
+    assert content(os.path.join(o1, "blocks")).equals(
+        content(os.path.join(o2, "blocks"))
+    )
+    m3 = encode_parquet(spark, src, o1, resume=True, partitioning="salted",
+                        min_hot_rows=500, hot_factor=0.5)
+    assert m3["skipped_parts"] == m1["parts"]
+    # mode switch on resume raises (meta guard covers salted_direct too)
+    with pytest.raises(ValueError, match="partitioning parameters changed"):
+        encode_parquet(spark, src, o1, resume=True)
+
+
 def test_parallelism_bins_identical_output(spark, src, tmp_path):
     """LPT task bins cap concurrency without changing the result: the
     checkpoint rows (fingerprints, byte counts, part ids) and block
