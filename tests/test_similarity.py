@@ -161,6 +161,58 @@ def test_bucket_cap_bounds_degenerate_bucket(spark, clustered_embeddings):
     assert any(a >= 60 for a, _ in cap)
 
 
+def test_bucket_cap_recall_survives_via_other_bands(spark):
+    """Round-5 verdict item 7: a mixture-of-gaussians fixture where the
+    cluster is tight enough that SOME bands produce mega-buckets over
+    the cap (they get dropped) but loose enough that other bands split
+    it — the true near-dup pairs must still be recalled through the
+    kept bands.  Deterministic fixture -> exact measured recall (the
+    numpy prototype measures 11/20 at cap=100; floor=8 leaves slack for
+    float32 round-trip edges only)."""
+    dim, n_bands, band_bits, seed, cap = 64, 8, 6, 11, 100
+    planes = S.hyperplanes(dim, n_bands * band_bits, seed)
+    rng = np.random.default_rng(42)
+    c = rng.standard_normal(dim)
+    c /= np.linalg.norm(c)
+    clus = c + 0.1 * rng.standard_normal((500, dim))
+    bg = rng.standard_normal((500, dim))
+    X = np.vstack([clus, bg]).astype(np.float32)
+
+    # fixture property: >=1 band bucket exceeds the cap, >=1 band keeps
+    # its biggest cluster bucket under it (numpy replication of the sigs)
+    bits = (X.astype(np.float64) @ planes.T) > 0
+    sig = bits.reshape(len(X), n_bands, band_bits) @ (
+        1 << np.arange(band_bits)
+    )
+    maxes = [
+        int(np.unique(sig[:, b], return_counts=True)[1].max())
+        for b in range(n_bands)
+    ]
+    assert max(maxes) > cap, maxes
+    assert min(maxes) <= cap, maxes
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        schema="vec_id long, embedding array<float>",
+    )
+    capped = S.banded_candidate_pairs(emb, seed=seed, max_bucket=cap)
+    n_cap = capped.count()
+    # (a) bounded: every surviving bucket holds <= cap members, so the
+    # pair count is bounded by n_bands * (cap choose 2) * #buckets-ish;
+    # concretely it must be far below the uncapped quadratic mass
+    assert n_cap < 120_000, n_cap
+
+    # (b) recall floor through the kept bands: exact top-20 pairs
+    Xn = X.astype(np.float64)
+    Xn /= np.linalg.norm(Xn, axis=1, keepdims=True)
+    g = Xn @ Xn.T
+    iu = np.triu_indices(len(X), 1)
+    order = np.argsort(-g[iu])[:20]
+    true = {(int(a), int(b)) for a, b in zip(iu[0][order], iu[1][order])}
+    got = {(r["vec_a"], r["vec_b"]) for r in capped.collect()}
+    assert len(true & got) >= 8, len(true & got)
+
+
 def test_materialized_buckets_topk_matches_fold_path(spark):
     emb = _emb(spark)
     q = [float(x) for x in np.random.default_rng(5).standard_normal(64)]
