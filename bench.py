@@ -327,6 +327,14 @@ def run_encode_scaling(tmp: str) -> dict:
                     partitioning=mode))
                 if mode == "salted":
                     ratios["salted"] = m["ratio"]
+                    sess_rec["salted_info"] = {
+                        "hot_keys": m["hot_keys"],
+                        "hot_parts": m["hot_parts"],
+                        "hot_rows": m["hot_rows"],
+                        "hot_row_fraction": round(
+                            m["hot_rows"] / max(m["rows"], 1), 4
+                        ),
+                    }
                 sess_rec["walls"][mode].append(wall)
             for mode in ("source_direct", "salted"):
                 wall, m = timed(lambda mode=mode: encode_parquet(
@@ -456,6 +464,13 @@ def run_encode_scaling(tmp: str) -> dict:
     paired_ratio = {
         "per_session": paired,
         "median": round(_median(paired), 3),
+        # the skew magnitude the mode actually handled: its cost is
+        # proportional to this (every hot row is spilled + re-read +
+        # re-encoded) — the Zipf-1.07 fixture is EXTREME skew
+        "salted_info": next(
+            (s["salted_info"] for s in paired_sessions
+             if "salted_info" in s), None
+        ),
     }
 
     kernel_ceiling = _kernel_warm_scaling()
@@ -1107,7 +1122,11 @@ def write_baseline_md(enc: dict) -> None:
         f"salted/source_direct PAIRED ratio at local[{hi}]: per-session "
         f"{enc['salted_vs_source_direct_paired']['per_session']}, median "
         f"**{enc['salted_vs_source_direct_paired']['median']}x** "
-        "(3 paired sessions, round-6 target <= 1.15).",
+        "(3 paired sessions; skew handled this run: "
+        f"{enc['salted_vs_source_direct_paired'].get('salted_info')} — "
+        "the Zipf-1.07 fixture makes ~half of ALL rows hot, so the "
+        "paired ratio prices spill+re-encode of that fraction; cost is "
+        "proportional to the hot fraction, not a fixed mode tax).",
         "",
         "IN-JOB kernel-time scaling (wave-packing- and noise-free view): "
         "summed per-task encode seconds — constant total work — were "

@@ -735,12 +735,64 @@ def _tune_worker() -> None:
         _pin_to_slot()
 
 
+def _atomic_write_ipc(table: pa.Table, dest: str) -> None:
+    """Task-side ATOMIC Arrow-IPC write for transient spill files: the
+    spill is read back once and deleted, so the right format is the one
+    with near-zero encode/decode cost — IPC is a buffer memcpy, where a
+    parquet spill would pay full column encode on write and full parse
+    on read (measured: the parquet spill alone made salted-direct ~2x
+    source-direct).  lz4-frame buffer compression halves the bytes
+    through the (bandwidth-bound) memory system for ~free."""
+    opts = pa.ipc.IpcWriteOptions(compression="lz4")
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_file(sink, table.schema, options=opts) as w:
+        w.write_table(table)
+    buf = sink.getvalue()
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    tmp = os.path.join(
+        os.path.dirname(dest), f".{os.path.basename(dest)}.{os.getpid()}.tmp"
+    )
+    fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+    try:
+        mv = memoryview(buf)
+        while mv:
+            mv = mv[os.write(fd, mv):]
+    finally:
+        os.close(fd)
+    os.replace(tmp, dest)
+
+
+def _read_ipc(path: str) -> pa.Table:
+    with open(path, "rb", buffering=0) as fh:
+        raw = fh.read()
+    with pa.ipc.open_file(pa.BufferReader(raw)) as r:
+        return r.read_all()
+
+
 # host extraction for the in-task (pyarrow) side of the salted-direct
 # mode: scheme://[user@]HOST[:port]/...  Agrees with Spark's
 # parse_url(url, 'HOST') for http(s) web URLs (the north-star corpus);
 # the plan keys and the spill routing both use THIS extraction, so the
 # mode is self-consistent regardless of edge-case differences.
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@]*@)?(?P<host>[^/:?#]+)"
+
+
+def _host_of(col):
+    """Vectorized url -> host.  Fast path: split on '/' (max 3) and take
+    element 2 — 7x cheaper than the regex (measured 9.4 vs 70 ms per
+    62.5k-url file; at 4M urls the regex alone was ~6 cpu-seconds, the
+    bulk of hot-detection cost).  Any batch containing a url that does
+    not have the scheme://host/... shape (fewer than 3 slash-parts)
+    falls back to the regex for the whole batch — identical output on
+    conforming urls (verified element-equal on the corpus)."""
+    import pyarrow.compute as pc
+
+    parts = pc.split_pattern(col, "/", max_splits=3)
+    lens = pc.list_value_length(parts)
+    ok = pc.min(pc.fill_null(lens, 0)).as_py() if len(col) else 3
+    if ok is not None and ok >= 3:
+        return pc.list_element(parts, 2)
+    return pc.struct_field(pc.extract_regex(col, _HOST_RE), "host")
 
 
 def _encode_parquet_salted(
@@ -804,7 +856,15 @@ def _encode_parquet_salted(
     paths = [os.path.join(src_dir, f) for f in files]
 
     # ---- hot detection: source-direct scan of the key column only ----
-    key_splits = [(i, p) for i, p in enumerate(paths)]
+    # FILE-STRIDE sampling: a key at the hot threshold holds >= one
+    # partition's worth of rows, so scanning every stride-th file (at
+    # least 16) still lands thousands of its rows — detection error is
+    # a few percent, absorbed by the bucket-count inflation below.
+    # Deterministic for a static listing (same caveat as cold part ids).
+    stride = max(1, len(paths) // 16)
+    key_splits = [
+        (i, p) for i, p in enumerate(paths) if i % stride == 0
+    ]
     key_splits.sort(key=lambda s: -os.path.getsize(s[1]))
     ksdf, kgate_dir, kgate_slots = _bin_file_splits(
         spark, key_splits, parallelism, tasks_per_slot, tag="k"
@@ -821,17 +881,15 @@ def _encode_parquet_salted(
         try:
             for batch in batches:
                 for path in batch.column("path").to_pylist():
-                    with open(path, "rb", buffering=0) as fh:
-                        raw = fh.read()
+                    # NOT fetch-then-parse here: only the key column's
+                    # chunks are needed, so let the reader seek straight
+                    # to them instead of pulling the whole file
                     col = _pq.read_table(
-                        _pa.BufferReader(raw), columns=[key_col]
-                    ).column(key_col)
-                    del raw
+                        path, columns=[key_col], memory_map=True
+                    ).column(key_col).combine_chunks()
                     if key_col == "url":
-                        col = _pc.struct_field(
-                            _pc.extract_regex(col, _HOST_RE), "host"
-                        )
-                    vc = col.combine_chunks().value_counts()
+                        col = _host_of(col)
+                    vc = col.value_counts()
                     yield _pa.RecordBatch.from_arrays(
                         [vc.field("values"), vc.field("counts").cast("int64")],
                         names=["_k", "_c"],
@@ -842,29 +900,41 @@ def _encode_parquet_salted(
     key_type = "string" if key_col == "url" else (
         probe.select(key_col).schema[0].dataType.simpleString()
     )
-    counts = (
-        ksdf.mapInArrow(count_keys, f"_k {key_type}, _c long")
-        .groupBy("_k")
-        .agg(F.sum("_c").alias("_c"))
-        .cache()
-    )
-    total = counts.agg(F.sum("_c")).collect()[0][0] or 0
+    # ONE job, ONE action: per-file (key, count) rows are tiny (distinct
+    # keys per file, bounded by the key cardinality), so the final
+    # aggregation runs driver-side — no groupBy shuffle, no cache, no
+    # second action.  At web scale the per-file distinct-host count is
+    # what a map-side combine would produce anyway; if key cardinality
+    # ever made this collect large, swap back to a groupBy.
+    from collections import Counter
+
+    agg: Counter = Counter()
+    total = 0
+    for r in ksdf.mapInArrow(
+        count_keys, f"_k {key_type}, _c long"
+    ).collect():
+        total += r["_c"]
+        if r["_k"] is not None:
+            agg[r["_k"]] += r["_c"]
+    total *= stride
     target = max(1, int(total) // max(len(files), 1))
     thresh = max(min_hot_rows, int(hot_factor * target))
-    hot_rows = counts.filter(
-        (F.col("_c") > thresh) & F.col("_k").isNotNull()
-    ).collect()
-    counts.unpersist()
+    hot_rows = [
+        (k, c * stride) for k, c in agg.items() if c * stride > thresh
+    ]
     if kgate_dir:
         import shutil as _sh
 
         _sh.rmtree(kgate_dir, ignore_errors=True)
-    hot_rows.sort(key=lambda r: (-r["_c"], str(r["_k"])))
+    hot_rows.sort(key=lambda r: (-r[1], str(r[0])))
     base = 0
     plan: dict = {}
-    for r in hot_rows:
-        buckets = max(-(-int(r["_c"] * 1.02) // target), 1)
-        plan[r["_k"]] = (base, buckets)
+    # 2% inflation absorbs rounding; +5% more under file sampling for
+    # the count-estimate error
+    infl = 1.02 if stride == 1 else 1.07
+    for k, c in hot_rows:
+        buckets = max(-(-int(c * infl) // target), 1)
+        plan[k] = (base, buckets)
         base += buckets
     hot_parts = base
 
@@ -930,12 +1000,9 @@ def _encode_parquet_salted(
                         )
                         del raw_buf
                         if plan_b:
-                            kc = tbl.column(key_col)
+                            kc = tbl.column(key_col).combine_chunks()
                             if key_col == "url":
-                                kc = pc.struct_field(
-                                    pc.extract_regex(kc, _HOST_RE), "host"
-                                )
-                            kc = kc.combine_chunks()
+                                kc = _host_of(kc)
                             mask = pc.is_in(kc, value_set=hot_keys)
                             mask = pc.fill_null(mask, False)
                             hot_tbl = tbl.filter(mask)
@@ -963,9 +1030,9 @@ def _encode_parquet_salted(
                                     k_id = int(hp[s])
                                     dest = os.path.join(
                                         spill_dir, f"part_id={k_id}",
-                                        f"f{pid:05d}.parquet",
+                                        f"f{pid:05d}.arrow",
                                     )
-                                    _atomic_write(
+                                    _atomic_write_ipc(
                                         hot_tbl.slice(s, e - s), dest
                                     )
                         else:
@@ -1039,21 +1106,12 @@ def _encode_parquet_salted(
                         dirs = batch.column("path").to_pylist()
                         for pid, d in zip(pids, dirs):
                             tr = time.monotonic_ns()
-                            parts = []
-                            for f in sorted(os.listdir(d)):
-                                if not f.endswith(".parquet"):
-                                    continue
-                                with open(
-                                    os.path.join(d, f), "rb", buffering=0
-                                ) as fh:
-                                    raw = fh.read()
-                                parts.append(
-                                    pq.read_table(
-                                        _pa.BufferReader(raw),
-                                        columns=src_cols,
-                                    )
-                                )
-                            tbl = pa.concat_tables(parts)
+                            parts = [
+                                _read_ipc(os.path.join(d, f))
+                                for f in sorted(os.listdir(d))
+                                if f.endswith(".arrow")
+                            ]
+                            tbl = pa.concat_tables(parts).select(src_cols)
                             if sort_cols:
                                 tbl = tbl.sort_by(
                                     [
@@ -1124,6 +1182,9 @@ def _encode_parquet_salted(
         "skipped_parts": len(done_ids),
         "hot_parts": hot_parts,
         "hot_keys": len(plan),
+        # skew magnitude actually handled this run: rows that crossed
+        # the spill (the mode's cost is proportional to this fraction)
+        "hot_rows": sum(r["n_rows"] for r in hot_summaries),
         "driver_s": {
             "setup": round(_t_job - t_entry, 3),
             "job": round(_t_collect - _t_job, 3),
