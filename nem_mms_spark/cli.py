@@ -37,13 +37,17 @@ def cmd_encode(args) -> int:
     from nem_mms_spark.jobs.encode import encode_dataframe, encode_parquet
 
     spark = _spark(args)
-    if args.partitioning == "source_direct":
+    if args.partitioning in ("source_direct", "salted_direct"):
         metrics = encode_parquet(
             spark,
             args.input,
             args.out,
             key_col=args.key or "url",
             resume=not args.no_resume,
+            partitioning=(
+                "salted" if args.partitioning == "salted_direct"
+                else "source_direct"
+            ),
         )
     else:
         df = spark.read.parquet(args.input)
@@ -62,14 +66,17 @@ def cmd_encode(args) -> int:
 
 
 def cmd_decode(args) -> int:
-    from nem_mms_spark.jobs.decode import decode_blocks
+    from nem_mms_spark.jobs.decode import decode_blocks, decode_blocks_direct
 
     spark = _spark(args)
     cols = args.columns.split(",") if args.columns else None
-    decode_blocks(spark, args.encoded, columns=cols).write.mode(
-        "overwrite"
-    ).parquet(args.out)
-    print(json.dumps({"written": args.out}))
+    engine = getattr(args, "engine", "direct")
+    if engine == "direct":
+        df = decode_blocks_direct(spark, args.encoded, columns=cols)
+    else:
+        df = decode_blocks(spark, args.encoded, columns=cols, engine=engine)
+    df.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"written": args.out, "engine": engine}))
     return 0
 
 
@@ -189,12 +196,18 @@ def main(argv=None) -> int:
     e.add_argument(
         "--partitioning",
         default="salted",
-        choices=("salted", "salted_full", "aligned", "source_direct"),
-        help="salted = hybrid hot-key-only shuffle (default); "
-        "salted_full = legacy full shuffle; aligned = zero-shuffle "
-        "in-place; source_direct = one task per parquet file, scanned "
-        "with pyarrow inside the task (fastest ingest of an existing "
-        "table)",
+        choices=(
+            "salted", "salted_full", "aligned", "source_direct",
+            "salted_direct",
+        ),
+        help="salted = hybrid hot-key-only shuffle on a DataFrame read "
+        "(default); salted_full = legacy full shuffle; aligned = "
+        "zero-shuffle in-place; source_direct = one task per parquet "
+        "file, scanned with pyarrow inside the task (fastest ingest of "
+        "an existing table); salted_direct = source-direct INCLUDING "
+        "skew handling (hot hosts spill task-side to right-sized salt "
+        "buckets — zero JVM bytes; the recommended skew mode for "
+        "parquet/Iceberg sources)",
     )
     e.set_defaults(fn=cmd_encode)
 
@@ -202,6 +215,13 @@ def main(argv=None) -> int:
     d.add_argument("--encoded", required=True)
     d.add_argument("--out", required=True)
     d.add_argument("--columns", default=None)
+    d.add_argument(
+        "--engine",
+        default="direct",
+        choices=("direct", "arrow", "pandas"),
+        help="direct = source-direct per-part-dir decode (zero shuffle, "
+        "fastest); arrow/pandas = generic Spark-scan engines",
+    )
     d.set_defaults(fn=cmd_decode)
 
     v = sub.add_parser("verify", help="bit-identical round-trip check")
