@@ -360,6 +360,7 @@ def decode_blocks_direct(
     parts: list[int] | None = None,
     parallelism: int | None = None,
     tasks_per_slot: int = 4,
+    block_ids: dict[int, set] | None = None,
 ) -> DataFrame:
     """SOURCE-DIRECT decode: the blocks scan happens INSIDE the Arrow
     task — the decode mirror of ``encode_parquet`` (round-5 verdict
@@ -378,6 +379,10 @@ def decode_blocks_direct(
 
     ``parallelism``/``tasks_per_slot``: same concurrency contract as
     ``encode_parquet`` (flock gate when the session has more slots).
+
+    ``block_ids``: optional {part_id -> set(block_id)} survivor map
+    (zone-map skipping): only those block groups decode; the map is
+    metadata-scale (ints) and ships in the task closure.
     """
     import numpy as np
     import pyarrow as pa
@@ -393,6 +398,8 @@ def decode_blocks_direct(
     if parts is not None:
         keep_parts = set(parts)
         committed = [p for p in committed if p in keep_parts]
+    if block_ids is not None:
+        committed = [p for p in committed if block_ids.get(p)]
     # manifest is metadata-scale: one driver-side pyarrow pass for the
     # output schema (the same read_manifest information, no Spark job)
     import pyarrow.dataset as ds
@@ -460,7 +467,11 @@ def decode_blocks_direct(
         gate_fd = _acquire_gate(gate_dir, gate_slots)
         try:
             for batch in batches:
-                for path in batch.column("path").to_pylist():
+                bpids = batch.column("part_id").to_pylist()
+                for bpid, path in zip(bpids, batch.column("path").to_pylist()):
+                    allowed = (
+                        block_ids.get(bpid) if block_ids is not None else None
+                    )
                     with open(path, "rb", buffering=0) as fh:
                         raw = fh.read()
                     tbl = pq.read_table(
@@ -490,6 +501,8 @@ def decode_blocks_direct(
                     )
                     for bi in range(len(bounds) - 1):
                         s, e = int(bounds[bi]), int(bounds[bi + 1])
+                        if allowed is not None and int(bids[s]) not in allowed:
+                            continue
                         n = int(vcs[s])
                         out = {}
                         for j in range(s, e):
@@ -597,14 +610,20 @@ def scan_blocks(
     if hi_b is not None:
         keep = keep & (zmin.isNull() | (zmin <= F.lit(hi_b)))
     survivors = meta.filter(keep).select("part_id", "block_id")
-    # surviving partition ids: one int per partition, bounded by the
-    # pruning itself — drives directory-level partition pruning
-    part_ids = [r["part_id"] for r in survivors.select("part_id").distinct().collect()]
-    if not part_ids:
+    # survivor map: (part_id, block_id) ints only — metadata-scale by
+    # construction (it is the zone-map prune's output); collected once
+    # and shipped in the decode task closure
+    surv_map: dict[int, set] = {}
+    for r in survivors.collect():
+        surv_map.setdefault(r["part_id"], set()).add(r["block_id"])
+    if not surv_map:
         return decode_blocks(spark, out_dir, columns=columns).limit(0)
 
-    decoded = decode_blocks(
-        spark, out_dir, columns=columns, parts=part_ids, blocks=survivors
+    # SOURCE-DIRECT data pass (r6): survivors decode via the zero-shuffle
+    # per-part-dir engine — partition pruning = reading only surviving
+    # part dirs, block pruning = the survivor map inside the task
+    decoded = decode_blocks_direct(
+        spark, out_dir, columns=columns, block_ids=surv_map
     )
     col = F.col(pred_column)
     if is_ts:
