@@ -172,6 +172,46 @@ def test_decode_blocks_direct_matches_generic(spark, src, tmp_path):
         decode_blocks_direct(spark, out, columns=["nope"])
 
 
+def test_salted_direct_resume_after_pass1_crash(
+    spark, src, tmp_path, monkeypatch
+):
+    """Kill the job between the cold commit and the hot pass: the spill
+    and the cold checkpoint rows persist, and a resume completes ONLY
+    the hot buckets — the two-commit structure's whole point."""
+    import nem_mms_spark.checkpoint as ckpt_mod
+    from nem_mms_spark.jobs.decode import decode_blocks_direct
+
+    out = str(tmp_path / "s")
+    orig = ckpt_mod.commit_checkpoint_rows
+    calls = []
+
+    def crash_after_first(rows, out_dir):
+        orig(rows, out_dir)
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("injected crash after cold commit")
+
+    monkeypatch.setattr(ckpt_mod, "commit_checkpoint_rows", crash_after_first)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        encode_parquet(
+            spark, src, out, resume=False, partitioning="salted",
+            min_hot_rows=500, hot_factor=0.5,
+        )
+    monkeypatch.setattr(ckpt_mod, "commit_checkpoint_rows", orig)
+    # the spill survived the crash (it is the hot pass's input)
+    assert os.path.isdir(os.path.join(out, "hot_spill"))
+    m = encode_parquet(
+        spark, src, out, resume=True, partitioning="salted",
+        min_hot_rows=500, hot_factor=0.5,
+    )
+    # every cold file part was committed before the crash -> skipped
+    assert m["skipped_parts"] == 5
+    assert m["rows"] == N
+    # full commit -> spill cleaned, decode complete
+    assert not os.path.exists(os.path.join(out, "hot_spill"))
+    assert decode_blocks_direct(spark, out).count() == N
+
+
 def test_salted_direct_resume_noop_and_content_determinism(
     spark, src, tmp_path
 ):
