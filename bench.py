@@ -75,6 +75,10 @@ BENCH_QUERIES = [
     "flatfile_scada_rollup",
     "zonemap_range_scan",
     "encode_roundtrip_metrics",
+    # round-6 additions: engine-path oracle rows + GIF pixel decode
+    "ann_lsh_topk_precomputed",
+    "banded_matmul_parity",
+    "multimodal_gif_pixels",
 ]
 
 
