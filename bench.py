@@ -542,6 +542,11 @@ def run_encode_scaling(tmp: str) -> dict:
         ),
         "generic_engine_wall_s": generic_wall,
     }
+    dec_probe = _decode_warm_scaling(enc_dir, (lo, hi))
+    decode["pipeline_probe"] = dec_probe
+    decode["efficiency_vs_pipeline_probe"] = round(
+        decode["scaling_efficiency"] / dec_probe["efficiency_lo_to_hi"], 4
+    )
     enc_bytes = _du(os.path.join(enc_dir, "blocks")) + _du(
         os.path.join(enc_dir, "manifest")
     )
@@ -743,6 +748,110 @@ def _pipe_encode_one(pid: int) -> int:
         os.path.join(outroot, "blocks"), os.path.join(outroot, "manifest"),
     )
     return summ.column("raw_bytes")[0].as_py()
+
+
+def _dec_pipe_one(args) -> int:
+    """Decode ONE encoded part dir through the exact source-direct
+    decode task body (no Spark); returns decoded value count."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nem_mms_spark import framing
+    from nem_mms_spark.codecs import decode_block
+    from nem_mms_spark.jobs.decode import _bin_views, _kernel_dtype_of
+
+    path, types = args
+    with open(path, "rb", buffering=0) as fh:
+        raw = fh.read()
+    tbl = pq.read_table(
+        pa.BufferReader(raw),
+        columns=["block_id", "column", "codec", "params", "value_count",
+                 "null_count", "payload", "validity"],
+    ).combine_chunks()
+    del raw
+    import numpy as np
+
+    bids = tbl.column("block_id").to_numpy(zero_copy_only=False)
+    if len(bids) == 0:
+        return 0
+    names = tbl.column("column").to_numpy(zero_copy_only=False)
+    codecs = tbl.column("codec").to_numpy(zero_copy_only=False)
+    params = tbl.column("params").to_numpy(zero_copy_only=False)
+    vcs = tbl.column("value_count").to_numpy(zero_copy_only=False)
+    ncs = tbl.column("null_count").to_numpy(zero_copy_only=False)
+    pay = _bin_views(tbl.column("payload").combine_chunks())
+    val = _bin_views(tbl.column("validity").combine_chunks())
+    total = 0
+    bounds = np.concatenate(
+        [[0], np.flatnonzero(bids[1:] != bids[:-1]) + 1, [len(bids)]]
+    )
+    for bi in range(len(bounds) - 1):
+        s, e = int(bounds[bi]), int(bounds[bi + 1])
+        n = int(vcs[s])
+        for j in range(s, e):
+            c = names[j]
+            nc = int(ncs[j])
+            values = decode_block(
+                pay(j), _json.loads(params[j]), n - nc,
+                _kernel_dtype_of(types[c]), codecs[j],
+            )
+            arr = framing.from_kernel(values, types[c], val(j), n, nc)
+            total += len(arr)
+    return total
+
+
+def _decode_warm_scaling(enc_dir: str, levels=None) -> dict:
+    """Matched no-Spark control for DECODE: the source-direct decode task
+    body (fetch blocks parquet + codec decode + Arrow rebuild) over the
+    same part dirs, K=lo vs K=hi pinned processes, same wall-clock
+    estimator and dynamic-backfill schedule as the in-Spark decode —
+    the decode twin of _pipeline_warm_scaling."""
+    import multiprocessing as mp
+
+    import pyarrow.dataset as ds
+
+    lo, hi = levels or SCALING_MASTERS
+    blocks_root = os.path.join(enc_dir, "blocks")
+    parts = sorted(
+        os.path.join(blocks_root, d, "data.parquet")
+        for d in os.listdir(blocks_root)
+        if d.startswith("part_id=")
+    )
+    parts = [p for p in parts if os.path.exists(p)]
+    man = ds.dataset(
+        os.path.join(enc_dir, "manifest"), format="parquet",
+        partitioning="hive",
+    ).to_table(columns=["column", "logical_type"])
+    types = dict(
+        zip(
+            man.column("column").to_pylist(),
+            man.column("logical_type").to_pylist(),
+        )
+    )
+    order = sorted(
+        range(len(parts)), key=lambda i: -os.path.getsize(parts[i])
+    )
+    work = [(parts[i], types) for i in order]
+    out: dict = {}
+    for k in (lo, hi, lo, hi):
+        counter = mp.Value("i", 0)
+        with mp.Pool(k, initializer=_pipe_init,
+                     initargs=(counter, None)) as pool:
+            pool.map(_dec_pipe_one, work, chunksize=1)  # untimed warm
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                nvals = sum(pool.map(_dec_pipe_one, work, chunksize=1))
+                wall = time.perf_counter() - t0
+                rec = {"wall_s": round(wall, 3), "values": nvals}
+                if k not in out or rec["wall_s"] < out[k]["wall_s"]:
+                    out[k] = rec
+    out["levels"] = [lo, hi]
+    out["efficiency_lo_to_hi"] = round(
+        (out[lo]["wall_s"] / out[hi]["wall_s"]) / (hi / lo), 4
+    )
+    return out
 
 
 def _pipeline_warm_scaling(src: str, levels=None) -> dict:
@@ -1151,10 +1260,14 @@ def write_baseline_md(enc: dict) -> None:
         f"{hi} ({enc['decode']['wall_s']} s, reps "
         f"{enc['decode']['all_reps_s']}); paired "
         f"{lo}->{hi} scaling efficiency "
-        f"{enc['decode'].get('scaling_efficiency')}; the generic "
-        "JVM-scan+shuffle decode engine on the same data took "
-        f"{enc['decode'].get('generic_engine_wall_s')} s (kept as the "
-        "flexible path for column-subset/zone-map reads).",
+        f"{enc['decode'].get('scaling_efficiency')} raw, "
+        f"**{enc['decode'].get('efficiency_vs_pipeline_probe')} vs the "
+        "matched no-Spark decode probe** (same task body, wall estimator "
+        "and backfill schedule, probe "
+        f"{enc['decode'].get('pipeline_probe', {}).get('efficiency_lo_to_hi')}"
+        "); the generic JVM-scan+shuffle decode engine on the same data "
+        f"took {enc['decode'].get('generic_engine_wall_s')} s (kept as "
+        "the flexible path for column-subset reads).",
         "",
         "Scale-growth regression check: every bench query also runs at "
         "sf0.01 (10x fewer rows); per-query wall ratios live in the "
