@@ -1,13 +1,31 @@
 """Similarity search over an embedding column (array<float>).
 
-  brute-force cosine top-k  — zip_with/aggregate dot product, JVM-side;
-                              exact baseline, O(n) per query
+  brute-force cosine top-k  — exact baseline; cosines evaluated by the
+                              numpy fold kernel (bit-exact with the SQL
+                              oracle's list_dot_product left fold)
   LSH-bucketed ANN          — random-hyperplane signs -> bucket key;
                               candidates = same-bucket rows (scale path:
                               the full scan becomes a bucket-pruned scan)
 
 The hyperplanes are derived deterministically from a seed (splitmix-style
 per-dimension hash) so signatures are reproducible across engines/runs.
+
+FOLD-ORDER BIT-EXACTNESS (the r7 optimization contract).  Every dot
+product on the oracle-parity paths used to be a Catalyst
+``F.aggregate(zip_with(...))`` left fold — interpreted per row, or (for
+band signatures) a 64x posexplode + broadcast join + two shuffles kept
+only to preserve float addition order.  A strict left fold is
+reproducible in numpy: one rounded float64 multiply and one rounded add
+per dimension, in ascending dimension order, starting from 0.0
+(`_fold_dots` / `_fold_pair_dots` below).  IEEE-754 ops are
+deterministic, so the numpy kernel returns the IDENTICAL bits as the
+Catalyst fold and as DuckDB's ``list_dot_product`` — proven by operation
+sequence, not just tested — while running vectorized across rows inside
+one zero-shuffle ``mapInArrow`` pass.  numpy ufuncs do not fuse
+multiply+add; a BLAS matmul (pairwise summation, may differ within
+summation-ulp of zero) is deliberately reserved for the separate
+``matmul`` engine path whose parity the ``banded_matmul_parity`` query
+measures.
 """
 
 from __future__ import annotations
@@ -41,6 +59,72 @@ def cosine_to_query(col, query: list[float]):
     return _dot(col, q) / (l2_norm(col) * F.lit(qn))
 
 
+# ------------------------------------------------- numpy fold kernel
+
+
+def _fold_dots(mat: np.ndarray, wt: np.ndarray) -> np.ndarray:
+    """acc[i, p] = ((0.0 + x[i,0]*w[0,p]) + x[i,1]*w[1,p]) + ... —
+    the strict left fold, vectorized across rows and planes.  One
+    rounded float64 multiply and one rounded add per term in ascending
+    dimension order: the identical IEEE-754 operation sequence as
+    Catalyst's F.aggregate fold and DuckDB's list_dot_product, so the
+    results are equal bit-for-bit.  ``mat`` is (n, dim) float64,
+    ``wt`` is (dim, p) float64."""
+    n, dim = mat.shape
+    p = wt.shape[1]
+    acc = np.zeros((n, p), dtype=np.float64)
+    tmp = np.empty((n, p), dtype=np.float64)
+    for d in range(dim):
+        np.multiply(mat[:, d, None], wt[None, d, :], out=tmp)
+        np.add(acc, tmp, out=acc)
+    return acc
+
+
+def _fold_pair_dots(ma: np.ndarray, mb: np.ndarray) -> np.ndarray:
+    """Elementwise-row left-fold dot: acc[i] = fold_d(ma[i,d]*mb[i,d]).
+    Same bit-exactness contract as `_fold_dots`."""
+    n, dim = ma.shape
+    acc = np.zeros(n, dtype=np.float64)
+    tmp = np.empty(n, dtype=np.float64)
+    for d in range(dim):
+        np.multiply(ma[:, d], mb[:, d], out=tmp)
+        np.add(acc, tmp, out=acc)
+    return acc
+
+
+def _vec_matrix(lv, dim: int) -> np.ndarray:
+    """Arrow list<float|double> array -> (n, dim) float64 matrix (the
+    float32 -> float64 widening is exact, same as Catalyst's
+    cast(array<double>))."""
+    vals = np.asarray(lv.flatten().to_numpy(zero_copy_only=False))
+    return vals.astype(np.float64, copy=False).reshape(len(lv), dim)
+
+
+def _gather_vectors(embeddings: DataFrame, id_col: str, vec_col: str):
+    """Driver-side gather of (ids, matrix, fold-norms), sorted by id —
+    the packed-numpy equivalent of the JVM broadcast-hash-join build
+    side the old per-pair plan shipped TWICE (once per join).  Same
+    data volume as that broadcast relation; the candidate-pair stream
+    then carries 16 bytes/row instead of two vectors + norms (guide
+    §2.3/§8: shuffle keys, move payloads once)."""
+    sdf = embeddings.select(id_col, vec_col)
+    try:
+        tbl = sdf.toArrow()
+        ids = np.asarray(tbl.column(id_col).to_numpy(zero_copy_only=False))
+        lv = tbl.column(vec_col).combine_chunks()
+        dim = len(lv[0]) if len(lv) else 0
+        mat = _vec_matrix(lv, dim)
+    except Exception:  # pragma: no cover - non-arrow fallback
+        rows = sdf.collect()
+        ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+        mat = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids = np.ascontiguousarray(ids[order])
+    mat = np.ascontiguousarray(mat[order])
+    norms = np.sqrt(_fold_pair_dots(mat, mat))
+    return ids, mat, norms
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query: list[float],
@@ -48,13 +132,43 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k (deterministic ties via id)."""
-    sim = cosine_to_query(F.col(vec_col), query)
+    """Exact cosine top-k (deterministic ties via id).
+
+    r7: the per-row interpreted Catalyst folds became one mapInArrow
+    pass through the numpy fold kernel — identical bits (dot and norm
+    are the same left folds; qn, the query norm, is the same
+    driver-side np.sum constant as before), identical ordering and
+    rounding, zero shuffle (orderBy+limit is TakeOrdered)."""
+    q = np.ascontiguousarray(np.asarray(query, dtype=np.float64))
+    qn = float(np.sqrt(np.sum(np.asarray(query, dtype=np.float64) ** 2)))
+    dim = len(q)
+
+    import pyarrow as pa
+
+    def score(batches):
+        wt = np.ascontiguousarray(q[:, None])
+        for batch in batches:
+            lv = batch.column(vec_col)
+            if len(lv) == 0:
+                continue
+            mat = _vec_matrix(lv, dim)
+            dot = _fold_dots(mat, wt)[:, 0]
+            den = np.sqrt(_fold_pair_dots(mat, mat)) * qn
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(id_col),
+                    pa.array(dot / den, type=pa.float64()),
+                ],
+                names=[id_col, "_cos"],
+            )
+
+    scored = embeddings.select(id_col, vec_col).mapInArrow(
+        score, f"{id_col} long, _cos double"
+    )
     return (
-        embeddings.select(id_col, sim.alias("cosine"))
-        .orderBy(F.desc("cosine"), F.col(id_col))
+        scored.orderBy(F.desc("_cos"), F.col(id_col))
         .limit(k)
-        .select(id_col, F.round("cosine", 4).alias("cosine"))
+        .select(id_col, F.round("_cos", 4).alias("cosine"))
     )
 
 
@@ -64,7 +178,10 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
 
 
 def lsh_bucket_col(vec_col, planes: np.ndarray):
-    """Sign-bit bucket id from random hyperplanes (JVM-side dot products)."""
+    """Sign-bit bucket id from random hyperplanes (JVM-side dot products).
+    Reference Catalyst-fold column; the engine paths compute the same
+    signs via the bit-exact numpy fold kernel (parity pinned by
+    test_materialize_buckets_matches_catalyst_fold_column)."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in p])
@@ -74,35 +191,44 @@ def lsh_bucket_col(vec_col, planes: np.ndarray):
     return bucket
 
 
+def _fold_sigs(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Fold-order sign buckets for an (n, dim) matrix: bit i set iff the
+    left-fold dot with plane i is > 0 (bit-exact with lsh_bucket_col)."""
+    wt = np.ascontiguousarray(planes.astype(np.float64).T)
+    dots = _fold_dots(mat, wt)
+    pows = 1 << np.arange(planes.shape[0], dtype=np.int64)
+    return (dots > 0).astype(np.int64) @ pows
+
+
 def multiprobe_buckets(
     spark, query: list[float], planes: np.ndarray, n_probes: int
 ) -> list[int]:
     """Probe sequence: the query's exact bucket plus single-bit flips of
     the ``n_probes`` planes with the smallest |margin| (the planes the
     query sits closest to — where a true neighbor most likely landed on
-    the other side).  The margins are evaluated with the SAME Catalyst
-    fold expressions as the data-side bucket signs, so an independent SQL
-    replication (left-fold dot products) derives the identical probe set.
-    """
-    qcol = F.array(*[F.lit(float(x)) for x in query])
-    exprs = [lsh_bucket_col(qcol, planes).alias("sig")] + [
-        F.abs(_dot(qcol, F.array(*[F.lit(float(x)) for x in p]))).alias(f"m{i}")
-        for i, p in enumerate(planes)
-    ]
-    row = spark.range(1).select(*exprs).collect()[0]
-    sig = int(row["sig"])
-    order = sorted(range(len(planes)), key=lambda i: (row[f"m{i}"], i))
+    the other side).  r7: the margins are evaluated with the numpy fold
+    kernel — the same float64 values, bit-for-bit, as the Catalyst fold
+    expressions this used to run as a one-row Spark job (and as the SQL
+    replication's list_dot_product), so the probe set is unchanged while
+    no Spark job runs at all.  ``spark`` is kept for API compatibility."""
+    del spark  # no longer needed: pure driver-side numpy
+    q = np.asarray(query, dtype=np.float64)[None, :]
+    wt = np.ascontiguousarray(planes.astype(np.float64).T)
+    dots = _fold_dots(q, wt)[0]
+    pows = 1 << np.arange(planes.shape[0], dtype=np.int64)
+    sig = int(((dots > 0).astype(np.int64) * pows).sum())
+    order = sorted(range(len(planes)), key=lambda i: (abs(dots[i]), i))
     return [sig] + [sig ^ (1 << i) for i in order[:n_probes]]
 
 
 def multiprobe_buckets_np(
     query: list[float], planes: np.ndarray, n_probes: int
 ) -> list[int]:
-    """Numpy twin of ``multiprobe_buckets`` for the matmul engine path:
-    no Spark job, same probe-selection rule (smallest |margin| planes
-    first, plane index as tiebreak).  Signs match the Catalyst fold
-    except when a dot product sits within float-summation ulp of zero —
-    measure-zero for real embeddings (parity-tested on the fixture)."""
+    """Matmul twin of ``multiprobe_buckets`` for the engine path: BLAS
+    dots (pairwise summation), same probe-selection rule (smallest
+    |margin| planes first, plane index as tiebreak).  Signs match the
+    fold except when a dot product sits within float-summation ulp of
+    zero — measure-zero for real embeddings (parity-tested)."""
     q = np.asarray(query, dtype=np.float64)
     dots = planes.astype(np.float64) @ q
     sig = int(np.sum((dots > 0) * (1 << np.arange(len(planes), dtype=np.int64))))
@@ -140,8 +266,7 @@ def materialize_buckets(
             lv = batch.column(vec_col)
             if len(lv) == 0:
                 continue
-            vals = np.asarray(lv.flatten().to_numpy(zero_copy_only=False))
-            mat = vals.astype(np.float64).reshape(len(lv), dim)
+            mat = _vec_matrix(lv, dim)
             bucket = ((mat @ weights) > 0).astype(np.int64) @ pows
             yield batch.append_column(
                 bucket_col, pa.array(bucket, type=pa.int64())
@@ -171,10 +296,13 @@ def lsh_topk(
     n_planes/seed) — the scale path: the bucket column is computed ONCE
     at ingest, the table is stored partitioned by it, and each query
     prunes to (n_probes+1) buckets with zero per-query signature work.
-    Without it the bucket column is recomputed per query via the
-    Catalyst fold (kept as the oracle-parity path — an independent SQL
-    replication derives identical signs).  Recall vs the exact scan is
-    contract-checked by the ``ann_lsh_recall`` query.
+    Without it, r7 runs ONE mapInArrow pass that derives each row's
+    fold-order bucket sign (bit-exact with the Catalyst fold the SQL
+    oracle replicates), prunes to the probe set in-task, and scores the
+    survivors — the same bucket signs, candidate set, cosines and
+    ordering as the old two-step fold plan, in a single zero-shuffle
+    scan.  Recall vs the exact scan is contract-checked by the
+    ``ann_lsh_recall`` query.
     """
     planes = hyperplanes(len(query), n_planes, seed)
     if precomputed is not None:
@@ -184,9 +312,44 @@ def lsh_topk(
     probes = multiprobe_buckets(
         embeddings.sparkSession, query, planes, n_probes
     )
-    bucketed = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
-    cand = bucketed.filter(F.col("bucket").isin(probes))
-    return brute_force_topk(cand, query, k, id_col, vec_col)
+    probe_arr = np.asarray(sorted(probes), dtype=np.int64)
+    q = np.ascontiguousarray(np.asarray(query, dtype=np.float64))
+    qn = float(np.sqrt(np.sum(np.asarray(query, dtype=np.float64) ** 2)))
+    dim = len(q)
+
+    import pyarrow as pa
+
+    def scan(batches):
+        wt = np.ascontiguousarray(q[:, None])
+        for batch in batches:
+            lv = batch.column(vec_col)
+            if len(lv) == 0:
+                continue
+            mat = _vec_matrix(lv, dim)
+            bucket = _fold_sigs(mat, planes)
+            keep = np.flatnonzero(np.isin(bucket, probe_arr))
+            if len(keep) == 0:
+                continue
+            sub = np.ascontiguousarray(mat[keep])
+            dot = _fold_dots(sub, wt)[:, 0]
+            den = np.sqrt(_fold_pair_dots(sub, sub)) * qn
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)[keep]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(dot / den, type=pa.float64()),
+                ],
+                names=[id_col, "_cos"],
+            )
+
+    scored = embeddings.select(id_col, vec_col).mapInArrow(
+        scan, f"{id_col} long, _cos double"
+    )
+    return (
+        scored.orderBy(F.desc("_cos"), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("_cos", 4).alias("cosine"))
+    )
 
 
 def banded_candidate_pairs(
@@ -198,32 +361,48 @@ def banded_candidate_pairs(
     seed: int = 11,
     max_bucket: int | None = 100_000,
     method: str = "fold",
+    distinct: bool = True,
 ) -> DataFrame:
     """LSH-banded candidate pairs for embedding near-dup (the MinHash-LSH
     band trick applied to sign-LSH): ``n_bands`` independent signatures of
     ``band_bits`` hyperplane sign bits each; two vectors are candidates if
-    they collide in ANY band.  One equi-join — pair work is O(sum of
-    bucket^2 per band), never the all-pairs O(n^2) (the scale path the
-    round-3 verdict asked to wire in, replacing the
-    BroadcastNestedLoopJoin).
+    they collide in ANY band.  Pair work is O(sum of bucket^2 per band),
+    never the all-pairs O(n^2).
 
     ``max_bucket`` (round-4 verdict item): clustered real-world
     embeddings WILL produce degenerate band buckets (a bucket of B
     members contributes B^2/2 join rows, so one mega-bucket makes the
-    self-join quadratic again — the failure mode this path exists to
-    avoid).  Band buckets larger than the cap are dropped BEFORE the
-    join, mirroring ``dedup.lsh_candidate_pairs``; members of a dropped
-    bucket still pair through their other bands.  Buckets of size 1 are
-    dropped too (they can produce no pair — cuts the join's build side).
+    pair step quadratic again — the failure mode this path exists to
+    avoid).  Band buckets larger than the cap are dropped BEFORE pair
+    enumeration, mirroring ``dedup.lsh_candidate_pairs``; members of a
+    dropped bucket still pair through their other bands.  Buckets of
+    size 1 are dropped too (they can produce no pair).
 
-    ``method``: "fold" (default) computes signatures via Catalyst fold
-    expressions whose float addition order an independent SQL oracle
-    replicates bit-exactly; "matmul" is the ENGINE path — one mapInArrow
-    numpy matmul computes all n_bands*band_bits signs per vector in a
-    single zero-shuffle pass (no 64x dim-explode, no broadcast join, no
-    pre-join shuffles), parity-tested against the fold path.
+    ``method``: "fold" (default) computes signatures with the numpy fold
+    kernel — bit-exact with the Catalyst fold / DuckDB list_dot_product
+    addition order (r7: this replaced the 64x posexplode + broadcast
+    join + two-shuffle plan with one zero-shuffle mapInArrow pass;
+    identical signs by IEEE-754 determinism); "matmul" is the ENGINE
+    path — one BLAS matmul per batch (pairwise summation, can differ
+    within summation-ulp of zero; parity pinned by the
+    ``banded_matmul_parity`` oracle row).
 
-    Returns distinct (vec_a, vec_b) with vec_a < vec_b.
+    Pair generation (r7): ONE shuffle of (id, band, sig) rows — three
+    ints per row, never a vector — into a groupBy that packs each band
+    bucket, then a mapInArrow kernel enumerates each bucket's sorted-id
+    upper triangle.  The old plan shuffled the same sig rows into a
+    window + self-join and produced the identical pair multiset; the
+    bucket filter (2 <= size <= cap) is the same per-(band, sig) row
+    count as the old window count, and the triangle of sorted unique
+    ids is exactly the old ``a.id < b.id`` join condition.
+
+    ``distinct``: True returns the deduplicated pair set (the declared
+    candidate-set semantics).  False returns the raw enumeration (each
+    pair once per colliding band) for consumers that dedupe as part of
+    their own aggregation (top-k, set-algebra counts) — skipping a
+    full-width shuffle of the pair set.
+
+    Returns (vec_a, vec_b) with vec_a < vec_b (distinct iff ``distinct``).
     """
     planes = hyperplanes(
         _dim_of(embeddings, vec_col), n_bands * band_bits, seed
@@ -232,30 +411,118 @@ def banded_candidate_pairs(
     tagged = sig_fn(
         embeddings, planes, n_bands, band_bits, id_col, vec_col
     )
-    from pyspark.sql import Window as W
+    raw = _bucket_pairs(tagged, id_col, max_bucket)
+    return raw.distinct() if distinct else raw
 
-    bsize = F.count("*").over(W.partitionBy("band", "sig"))
-    keep = F.col("_bsz") >= 2
+
+def _bucket_pairs(
+    tagged: DataFrame, id_col: str, max_bucket: int | None
+) -> DataFrame:
+    """(band, sig) buckets -> raw candidate pairs (vec_a < vec_b, one
+    row per colliding band).  One shuffle (the groupBy of 3-int sig
+    rows); the quadratic enumeration runs vectorized in-task over each
+    packed bucket's sorted-id upper triangle.
+
+    The shuffle is an EXPLICIT repartition by the bucket key: the sig
+    rows are byte-tiny (three ints per row), so AQE's size-based
+    coalescing would fuse them into ONE post-shuffle partition — and
+    everything downstream of this exploding operator (pair enumeration,
+    cosines, dedup) would run on a single core (measured 26 s vs ~2 s at
+    sf1.0).  An explicit partition count is exempt from AQE coalescing,
+    and the groupBy reuses the partitioning (no second exchange)."""
+    import pyarrow as pa
+
+    par = tagged.sparkSession.sparkContext.defaultParallelism
+    grouped = (
+        tagged.repartition(par, "band", "sig")
+        .groupBy("band", "sig")
+        .agg(F.collect_list(id_col).alias("_ids"))
+    )
+    sz = F.size("_ids")
+    cond = sz >= 2
     if max_bucket is not None:
-        keep = keep & (F.col("_bsz") <= max_bucket)
-    tagged = (
-        tagged.withColumn("_bsz", bsize).filter(keep).drop("_bsz")
+        cond = cond & (sz <= max_bucket)
+    grouped = grouped.filter(cond).select("_ids")
+
+    out_schema = pa.schema(
+        [pa.field("vec_a", pa.int64()), pa.field("vec_b", pa.int64())]
     )
-    a = tagged.alias("a")
-    b = tagged.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("vec_a"),
-            F.col(f"b.{id_col}").alias("vec_b"),
-        )
-        .distinct()
+
+    def enum(batches):
+        for batch in batches:
+            lv = batch.column("_ids")
+            for j in range(len(lv)):
+                ids = np.sort(
+                    np.asarray(lv[j].values.to_numpy(zero_copy_only=False))
+                )
+                iu = np.triu_indices(len(ids), k=1)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids[iu[0]], type=pa.int64()),
+                        pa.array(ids[iu[1]], type=pa.int64()),
+                    ],
+                    schema=out_schema,
+                )
+
+    return grouped.mapInArrow(enum, "vec_a long, vec_b long")
+
+
+def _band_sigs(
+    embeddings: DataFrame,
+    planes: np.ndarray,
+    n_bands: int,
+    band_bits: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, band, sig) band signatures, ORACLE-PARITY path: one numpy
+    fold-kernel pass per Arrow batch — zero shuffle, zero explode.
+
+    Bit-exactness contract with the SQL oracle's list_dot_product fold
+    (and with the posexplode + ordered-partial-sum plan this replaced in
+    r7): `_fold_dots` adds one rounded float64 product per dimension in
+    ascending dimension order from 0.0 — the identical IEEE-754
+    operation sequence as the left fold, so every sign bit equals the
+    oracle's bit-for-bit.  The old plan achieved the same sequence by
+    64x-exploding the table through a broadcast join and two shuffles;
+    the sequence, not the plan, is the contract."""
+    import pyarrow as pa
+
+    n_planes, dim = planes.shape
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("band", pa.int32()),
+            pa.field("sig", pa.int64()),
+        ]
     )
+    spark_schema = f"{id_col} long, band int, sig long"
+
+    def sigs(batches):
+        wt = np.ascontiguousarray(planes.astype(np.float64).T)
+        pows = 1 << np.arange(band_bits, dtype=np.int64)
+        bands = np.arange(n_bands, dtype=np.int32)
+        for batch in batches:
+            lv = batch.column(vec_col)
+            n = len(lv)
+            if n == 0:
+                continue
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            mat = _vec_matrix(lv, dim)
+            bits = _fold_dots(mat, wt) > 0  # n x n_planes
+            sig = (
+                bits.reshape(n, n_bands, band_bits).astype(np.int64) @ pows
+            )  # n x n_bands
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, n_bands), type=pa.int64()),
+                    pa.array(np.tile(bands, n), type=pa.int32()),
+                    pa.array(sig.reshape(-1), type=pa.int64()),
+                ],
+                schema=out_schema,
+            )
+
+    return embeddings.select(id_col, vec_col).mapInArrow(sigs, spark_schema)
 
 
 def _band_sigs_matmul(
@@ -266,14 +533,12 @@ def _band_sigs_matmul(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """(id, band, sig) band signatures, ENGINE path: one numpy matmul per
+    """(id, band, sig) band signatures, ENGINE path: one BLAS matmul per
     Arrow batch against the (dim x n_planes) plane matrix computes every
-    sign in a single zero-shuffle scan — no dim explode (the fold path
-    inflates the table 64x through posexplode + two shuffles to keep
-    float addition order bit-exact with the SQL oracle; the engine
-    doesn't need that contract).  Signs can differ from the fold path
-    only when a dot product lands within summation-ulp of zero
-    (parity-tested on the fixture)."""
+    sign in a single zero-shuffle scan.  Signs can differ from the fold
+    path only when a dot product lands within summation-ulp of zero
+    (parity-tested on the fixture and pinned by the
+    ``banded_matmul_parity`` oracle row)."""
     import pyarrow as pa
 
     n_planes, dim = planes.shape
@@ -296,8 +561,7 @@ def _band_sigs_matmul(
             if n == 0:
                 continue
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            vals = np.asarray(lv.flatten().to_numpy(zero_copy_only=False))
-            mat = vals.astype(np.float64).reshape(n, dim)
+            mat = _vec_matrix(lv, dim)
             bits = (mat @ weights) > 0  # n x n_planes
             sig = (
                 bits.reshape(n, n_bands, band_bits).astype(np.int64) @ pows
@@ -314,63 +578,6 @@ def _band_sigs_matmul(
     return embeddings.select(id_col, vec_col).mapInArrow(sigs, spark_schema)
 
 
-def _band_sigs(
-    embeddings: DataFrame,
-    planes: np.ndarray,
-    n_bands: int,
-    band_bits: int,
-    id_col: str,
-    vec_col: str,
-) -> DataFrame:
-    """(id, band, sig) band signatures, WHOLE-STAGE-CODEGEN fast.
-
-    A literal fold expression per plane (F.aggregate over zip_with) is
-    interpreted by Catalyst — ~1 ms per 64-dim fold, and the per-row
-    rebuild of 48 literal plane arrays dwarfs the arithmetic.  Instead:
-    posexplode the vector, broadcast-join a (plane, dim, w) weights
-    table, and hash-aggregate sum(x*w) — every operator codegens.
-
-    Bit-exactness contract with the SQL oracle's list_dot_product fold:
-    the explode emits dims in ascending order, the broadcast hash join
-    preserves stream order, and each vector's rows live in ONE task, so
-    the partial sum for (id, plane) accumulates x0*w0, x1*w1, ... from
-    0.0 in dimension order — the identical float64 addition sequence as
-    the left fold.  (The final agg then merges exactly one partial.)"""
-    spark = embeddings.sparkSession
-    n_planes, dim = planes.shape
-    dims = spark.createDataFrame(
-        [
-            (p, d, float(planes[p, d]))
-            for p in range(n_planes)
-            for d in range(dim)
-        ],
-        schema="plane int, dim int, w double",
-    )
-    par = spark.sparkContext.defaultParallelism
-    ex = embeddings.repartition(par).select(
-        F.col(id_col),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
-    )
-    dots = (
-        ex.join(F.broadcast(dims), "dim")
-        .groupBy(id_col, "plane")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
-    )
-    return (
-        dots.withColumn("band", (F.col("plane") / band_bits).cast("int"))
-        .withColumn(
-            "bit",
-            F.expr(
-                f"CASE WHEN dot > 0 THEN shiftleft(CAST(1 AS BIGINT), "
-                f"CAST(plane % {band_bits} AS INT)) "
-                "ELSE CAST(0 AS BIGINT) END"
-            ),
-        )
-        .groupBy(id_col, "band")
-        .agg(F.sum("bit").alias("sig"))
-    )
-
-
 def _dim_of(embeddings: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from one row (metadata-scale collect)."""
     row = embeddings.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
@@ -385,31 +592,215 @@ def cosine_pairs_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact fold-cosine on a (vec_a, vec_b) candidate set -> top-k.
-    The fold expression matches DuckDB's list_dot_product bit-exactly, so
-    the oracle can replicate ordering and rounding.
+    The numpy fold kernel matches DuckDB's list_dot_product bit-exactly
+    (same rounded-op sequence), so the oracle replicates ordering and
+    rounding.
 
-    Plan shape: norms are computed once per VECTOR (not per pair — saves
-    two folds per candidate), the vector table is broadcast to both join
-    sides, and the candidate set keeps an explicit partition count (AQE
-    would coalesce the byte-tiny pair list onto one core and serialize
-    the interpreted dot-product folds)."""
-    e = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("_n", l2_norm(F.col("v")))
-    a = e.alias("ea")
-    b = e.alias("eb")
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    joined = (
-        pairs.repartition(par)
-        .join(F.broadcast(a), pairs["vec_a"] == F.col(f"ea.{id_col}"))
-        .join(F.broadcast(b), pairs["vec_b"] == F.col(f"eb.{id_col}"))
-    )
-    cos = _dot(F.col("ea.v"), F.col("eb.v")) / (
-        F.col("ea._n") * F.col("eb._n")
+    Plan shape (r7): the vector table is gathered ONCE driver-side and
+    broadcast as a packed numpy matrix + fold-norms (the same relation
+    the old plan broadcast twice as a JVM hash-join build side); the
+    candidate stream carries only the two ids.  Each task deduplicates
+    its pairs, scores them against the broadcast matrix, and keeps its
+    local top-k under the total order (cosine desc, vec_a, vec_b);
+    cross-task duplicates score identically (deterministic function of
+    content), so distinct-of-local-top-ks followed by the global top-k
+    returns exactly the full-set top-k — pairs may therefore arrive
+    WITH multiplicity (e.g. once per colliding band) and no global
+    pair-set shuffle is needed."""
+    import pyarrow as pa
+
+    ids, mat, norms = _gather_vectors(embeddings, id_col, vec_col)
+    bc = embeddings.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+    def topk_stream(batches):
+        g_ids, g_mat, g_norms = bc.value
+        acc_a: list[np.ndarray] = []
+        acc_b: list[np.ndarray] = []
+        acc_c: list[np.ndarray] = []
+
+        def dedup(a, b, c):
+            # first occurrence per (a, b); duplicates carry identical c
+            order = np.lexsort((b, a))
+            a, b, c = a[order], b[order], c[order]
+            first = np.empty(len(a), dtype=bool)
+            first[0] = True
+            np.logical_or(
+                a[1:] != a[:-1], b[1:] != b[:-1], out=first[1:]
+            )
+            return a[first], b[first], c[first]
+
+        def topk(a, b, c):
+            order = np.lexsort((b, a, -c))[:k]
+            return a[order], b[order], c[order]
+
+        for batch in batches:
+            a = batch.column("vec_a").to_numpy(zero_copy_only=False)
+            b = batch.column("vec_b").to_numpy(zero_copy_only=False)
+            if len(a) == 0:
+                continue
+            # in-batch dedup (keeps the local-top-k containment argument
+            # exact when pairs arrive once per colliding band)
+            order = np.lexsort((b, a))
+            a, b = a[order], b[order]
+            first = np.empty(len(a), dtype=bool)
+            first[0] = True
+            np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=first[1:])
+            a, b = a[first], b[first]
+            ia = np.searchsorted(g_ids, a)
+            ib = np.searchsorted(g_ids, b)
+            ma = np.ascontiguousarray(g_mat[ia])
+            mb = np.ascontiguousarray(g_mat[ib])
+            dot = _fold_pair_dots(ma, mb)
+            cos = dot / (g_norms[ia] * g_norms[ib])
+            ta, tb, tc = topk(a, b, cos)
+            acc_a.append(ta)
+            acc_b.append(tb)
+            acc_c.append(tc)
+        if acc_a:
+            a = np.concatenate(acc_a)
+            b = np.concatenate(acc_b)
+            c = np.concatenate(acc_c)
+            # the same pair can reach this task in TWO batches (one per
+            # colliding band): dedup before the merged top-k, or
+            # duplicate rows crowd distinct pairs out of the k slots
+            a, b, c = dedup(a, b, c)
+            a, b, c = topk(a, b, c)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(a, type=pa.int64()),
+                    pa.array(b, type=pa.int64()),
+                    pa.array(c, type=pa.float64()),
+                ],
+                names=["vec_a", "vec_b", "_cos"],
+            )
+
+    local = pairs.select("vec_a", "vec_b").mapInArrow(
+        topk_stream, "vec_a long, vec_b long, _cos double"
     )
     return (
-        joined.select("vec_a", "vec_b", cos.alias("_cos"))
+        local.distinct()
+        .orderBy(F.desc("_cos"), "vec_a", "vec_b")
+        .limit(k)
+        .select("vec_a", "vec_b", F.round("_cos", 4).alias("cosine"))
+    )
+
+
+def banded_cosine_topk(
+    embeddings: DataFrame,
+    k: int = 20,
+    n_bands: int = 8,
+    band_bits: int = 6,
+    seed: int = 11,
+    max_bucket: int | None = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "fold",
+) -> DataFrame:
+    """FUSED banded-LSH near-dup top-k: candidates = pairs colliding in
+    any band (identical to ``banded_candidate_pairs``), score = the exact
+    fold cosine (identical to ``cosine_pairs_topk``), result = the same
+    top-k — computed without ever materializing the candidate pair set.
+
+    Per (band, sig) bucket, ONE task: a BLAS Gram matrix over the
+    bucket's vectors prescreens the upper triangle, the exact fold
+    cosine runs only on a guaranteed superset of the bucket's top-k, and
+    only local top-k rows leave the task.  The prescreen is sound by a
+    standard float error bound: any-order and left-fold float64 dot
+    products of 64-term vectors each differ from the exact value by at
+    most gamma_64 * ||x||*||y|| (gamma_64 ~= 1.4e-14), so after norm
+    division |cos_blas - cos_fold| <= ~3e-14; the margin used is 1e-9 —
+    4+ orders of magnitude of slack — so the fold-order top-k of a
+    bucket always survives the prescreen.  Cross-bucket duplicates score
+    identically (deterministic function of content), so
+    distinct-of-local-top-ks -> global top-k equals the full-set answer
+    (the ``cosine_pairs_topk`` containment argument).
+
+    Work drops from O(pairs) gather+fold (27M pairs at sf1.0) to one
+    small GEMM per bucket plus ~k fold cosines per bucket."""
+    import pyarrow as pa
+
+    planes = hyperplanes(
+        _dim_of(embeddings, vec_col), n_bands * band_bits, seed
+    )
+    sig_fn = _band_sigs_matmul if method == "matmul" else _band_sigs
+    tagged = sig_fn(
+        embeddings, planes, n_bands, band_bits, id_col, vec_col
+    )
+    par = tagged.sparkSession.sparkContext.defaultParallelism
+    grouped = (
+        tagged.repartition(par, "band", "sig")
+        .groupBy("band", "sig")
+        .agg(F.collect_list(id_col).alias("_ids"))
+    )
+    sz = F.size("_ids")
+    cond = sz >= 2
+    if max_bucket is not None:
+        cond = cond & (sz <= max_bucket)
+    grouped = grouped.filter(cond).select("_ids")
+
+    ids_g, mat_g, norms_g = _gather_vectors(embeddings, id_col, vec_col)
+    bc = embeddings.sparkSession.sparkContext.broadcast(
+        (ids_g, mat_g, norms_g)
+    )
+
+    def bucket_topk(batches):
+        g_ids, g_mat, g_norms = bc.value
+        acc_a: list[np.ndarray] = []
+        acc_b: list[np.ndarray] = []
+        acc_c: list[np.ndarray] = []
+        for batch in batches:
+            lv = batch.column("_ids")
+            for j in range(len(lv)):
+                ids = np.sort(
+                    np.asarray(lv[j].values.to_numpy(zero_copy_only=False))
+                )
+                idx = np.searchsorted(g_ids, ids)
+                m = np.ascontiguousarray(g_mat[idx])
+                nrm = g_norms[idx]
+                cb = (m @ m.T) / np.outer(nrm, nrm)
+                iu0, iu1 = np.triu_indices(len(ids), k=1)
+                vals = cb[iu0, iu1]
+                if len(vals) > k:
+                    kth = np.partition(vals, len(vals) - k)[len(vals) - k]
+                    keep = np.flatnonzero(vals >= kth - 1e-9)
+                    iu0, iu1 = iu0[keep], iu1[keep]
+                # exact fold cosine on the surviving superset only
+                dot = _fold_pair_dots(
+                    np.ascontiguousarray(m[iu0]),
+                    np.ascontiguousarray(m[iu1]),
+                )
+                cos = dot / (nrm[iu0] * nrm[iu1])
+                acc_a.append(ids[iu0])
+                acc_b.append(ids[iu1])
+                acc_c.append(cos)
+        if acc_a:
+            a = np.concatenate(acc_a)
+            b = np.concatenate(acc_b)
+            c = np.concatenate(acc_c)
+            # cross-bucket duplicates within this task: first occurrence
+            # wins (identical c), then the task-local top-k
+            order = np.lexsort((b, a))
+            a, b, c = a[order], b[order], c[order]
+            first = np.empty(len(a), dtype=bool)
+            first[0] = True
+            np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=first[1:])
+            a, b, c = a[first], b[first], c[first]
+            order = np.lexsort((b, a, -c))[:k]
+            a, b, c = a[order], b[order], c[order]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(a, type=pa.int64()),
+                    pa.array(b, type=pa.int64()),
+                    pa.array(c, type=pa.float64()),
+                ],
+                names=["vec_a", "vec_b", "_cos"],
+            )
+
+    local = grouped.mapInArrow(
+        bucket_topk, "vec_a long, vec_b long, _cos double"
+    )
+    return (
+        local.distinct()
         .orderBy(F.desc("_cos"), "vec_a", "vec_b")
         .limit(k)
         .select("vec_a", "vec_b", F.round("_cos", 4).alias("cosine"))
@@ -447,12 +838,22 @@ def exact_pairs_topk(
     whatever keeps one packed block row under ``max_block_bytes`` of
     vector payload (collect_list packs a block into a single row; an
     unbounded block would hit Arrow's 2 GB element limit / executor OOM
-    long before the O(n^2) compute became the problem)."""
-    import pandas as pd
+    long before the O(n^2) compute became the problem).
+
+    r7: the per-block-pair kernel is mapInArrow — packed rows unpack to
+    numpy via Arrow buffer flattening instead of the old
+    mapInPandas/iterrows path that materialized every nested struct as
+    Python objects (the measured bulk of this baseline's wall); the
+    count and dim probes collapsed into one job.  Same blocks, same
+    Gram arithmetic, same emit rules."""
+    import pyarrow as pa
 
     if n_blocks is None:
-        n = embeddings.count()
-        dim = _dim_of(embeddings, vec_col)
+        row = embeddings.agg(
+            F.count("*").alias("n"),
+            F.min(F.size(F.col(vec_col))).alias("d"),
+        ).collect()[0]
+        n, dim = int(row["n"]), int(row["d"] or 0)
         bytes_per_vec = dim * 4 + 16  # float32 payload + id + offsets
         n_blocks = max(8, -(-(n * bytes_per_vec) // max_block_bytes))
 
@@ -473,18 +874,26 @@ def exact_pairs_topk(
         .repartition(n_blocks * (n_blocks + 1) // 2)
     )
 
+    def _unpack(cell):
+        """list<struct<i,v>> scalar -> (ids, unit-row matrix)."""
+        sa = cell.values
+        ids = np.asarray(sa.field("i").to_numpy(zero_copy_only=False))
+        lv = sa.field("v")
+        m = _vec_matrix(lv, len(lv[0]) if len(lv) else 0)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return ids, m
+
     def gram_topk(batches):
-        for pdf in batches:
-            outs = []
-            for _, row in pdf.iterrows():
-                ia = np.array([r["i"] for r in row["rows_a"]], dtype=np.int64)
-                ib = np.array([r["i"] for r in row["rows_b"]], dtype=np.int64)
-                ma = np.array([r["v"] for r in row["rows_a"]], dtype=np.float64)
-                mb = np.array([r["v"] for r in row["rows_b"]], dtype=np.float64)
-                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
-                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        for batch in batches:
+            ra = batch.column("rows_a")
+            rb = batch.column("rows_b")
+            ba = batch.column("blk_a").to_numpy(zero_copy_only=False)
+            bb = batch.column("blk_b").to_numpy(zero_copy_only=False)
+            for j in range(batch.num_rows):
+                ia, ma = _unpack(ra[j])
+                ib, mb = _unpack(rb[j])
                 g = ma @ mb.T
-                diagonal = row["blk_a"] == row["blk_b"]
+                diagonal = ba[j] == bb[j]
                 if diagonal:
                     # same block on both sides: keep i < j once
                     mask = ia[:, None] < ib[None, :]
@@ -498,17 +907,20 @@ def exact_pairs_topk(
                     continue
                 kk = min(k, len(flat))
                 top = flat[np.argpartition(-g.ravel()[flat], kk - 1)[:kk]]
-                ra, rb = np.unravel_index(top, g.shape)
-                va, vb = ia[ra], ib[rb]
+                rra, rrb = np.unravel_index(top, g.shape)
+                va, vb = ia[rra], ib[rrb]
                 if not diagonal:
                     va, vb = np.minimum(va, vb), np.maximum(va, vb)
-                outs.append(
-                    pd.DataFrame({"vec_a": va, "vec_b": vb, "_cos": g[ra, rb]})
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(va, type=pa.int64()),
+                        pa.array(vb, type=pa.int64()),
+                        pa.array(g[rra, rrb], type=pa.float64()),
+                    ],
+                    names=["vec_a", "vec_b", "_cos"],
                 )
-            if outs:
-                yield pd.concat(outs)
 
-    local = bp.mapInPandas(
+    local = bp.mapInArrow(
         gram_topk, schema="vec_a long, vec_b long, _cos double"
     )
     return (

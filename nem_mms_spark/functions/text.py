@@ -67,9 +67,12 @@ def quality_score(text: Column) -> Column:
     return F.round((len_ok + shape_ok + punct_ok) / 3.0, 4)
 
 
-def lang_id(text: Column) -> Column:
-    """N-gram/stopword-marker language guess over LANG_MARKERS."""
-    toks = tokens_col(F.lower(text))
+def lang_id_from_tokens(toks: Column) -> Column:
+    """N-gram/stopword-marker language guess over LANG_MARKERS, taking an
+    already-tokenized (lowercased) array.  Callers that materialize the
+    token array once per row (a named projection column) pay the regex
+    split a single time instead of once per language's marker filter —
+    the r7 CSE restructure; the decision expression is unchanged."""
     expr = F.lit("und")
     best = F.lit(0)
     for lang, markers in LANG_MARKERS.items():
@@ -79,16 +82,48 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+def lang_id(text: Column) -> Column:
+    """N-gram/stopword-marker language guess over LANG_MARKERS."""
+    return lang_id_from_tokens(tokens_col(F.lower(text)))
+
+
 def fingerprint(text: Column) -> Column:
     """Stable content fingerprint (md5 hex — portable across engines)."""
     return F.md5(text.cast("string"))
 
 
 def text_quality_df(documents: DataFrame) -> DataFrame:
-    return documents.select(
+    """Per-doc token stats + composite quality.
+
+    r7 CSE restructure: the two token arrays (raw and lowercased) are
+    materialized ONCE per row in a named projection and every measure
+    references the columns — the old expression tree re-derived
+    ``split(text, '\\s+')`` up to six times per row (token count, fold
+    total, stopword filter, and again inside quality_score), and the
+    regex split over the full document is the dominant per-row cost.
+    Expressions, rounding and output schema are unchanged."""
+    base = documents.select(
         "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        F.round(avg_token_len(F.col("text")), 4).alias("avg_token_len"),
-        F.round(stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
-        quality_score(F.col("text")).alias("quality"),
+        "text",
+        tokens_col(F.col("text")).alias("_toks"),
+        tokens_col(F.lower(F.col("text"))).alias("_ltoks"),
+    )
+    toks, ltoks = F.col("_toks"), F.col("_ltoks")
+    n = F.size(toks)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    awl = total / F.greatest(n, F.lit(1))
+    stop = F.size(F.filter(ltoks, lambda t: t.isin(STOPWORDS)))
+    swr = stop / F.greatest(F.size(ltoks), F.lit(1))
+    len_ok = F.when((n >= 10) & (n <= 5000), 1.0).otherwise(0.3)
+    shape_ok = F.when((awl >= 3) & (awl <= 12), 1.0).otherwise(0.5)
+    punct_ok = F.when(punct_ratio(F.col("text")) < 0.2, 1.0).otherwise(0.4)
+    quality = F.round((len_ok + shape_ok + punct_ok) / 3.0, 4)
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(awl, 4).alias("avg_token_len"),
+        F.round(swr, 4).alias("stopword_ratio"),
+        quality.alias("quality"),
     )

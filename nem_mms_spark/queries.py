@@ -342,10 +342,16 @@ def token_counts_by_source(spark, sf_dir):
 
 
 def lang_id_accuracy(spark, sf_dir):
+    # r7: tokenize once per row (named projection column) and run the
+    # marker filters over the array — the old expression tree re-split
+    # the document once per language; decision logic unchanged.
     d = _t(spark, sf_dir, "documents")
-    pred = T.lang_id(F.col("text"))
+    toked = d.select(
+        "lang", T.tokens_col(F.lower(F.col("text"))).alias("_ltoks")
+    )
+    pred = T.lang_id_from_tokens(F.col("_ltoks"))
     return (
-        d.withColumn("pred", pred)
+        toked.withColumn("pred", pred)
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -444,12 +450,19 @@ def embedding_cosine_pairs(spark, sf_dir):
     BroadcastNestedLoopJoin this query used to run.  The oracle replicates
     the bands, the candidate join, and the cosine ordering bit-exactly in
     SQL; the recall of this candidate set vs the exact all-pairs top-20 is
-    contract-checked by ``embedding_pairs_recall``."""
+    contract-checked by ``embedding_pairs_recall``.
+
+    r7 plan change (same candidate set, same fold cosines, same top-20):
+    the fused ``banded_cosine_topk`` scores each band bucket in-task
+    (BLAS prescreen + exact fold cosine on a guaranteed superset of the
+    bucket top-k, error-bound-sound — see its docstring) instead of
+    materializing + distinct-shuffling the ~O(sum bucket^2) candidate
+    pair set and joining vectors onto every pair."""
     emb = _t(spark, sf_dir, "embeddings")
-    cand = similarity.banded_candidate_pairs(
-        emb, n_bands=_PAIR_BANDS, band_bits=_PAIR_BAND_BITS, seed=_PAIR_SEED
+    return similarity.banded_cosine_topk(
+        emb, k=20, n_bands=_PAIR_BANDS, band_bits=_PAIR_BAND_BITS,
+        seed=_PAIR_SEED,
     )
-    return similarity.cosine_pairs_topk(emb, cand, k=20)
 
 
 def embedding_pairs_recall(spark, sf_dir):
@@ -474,12 +487,10 @@ def embedding_pairs_recall(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     floor = 5
     exact = similarity.exact_pairs_topk(emb, k=20).select("vec_a", "vec_b")
-    cand = similarity.banded_candidate_pairs(
-        emb, n_bands=_PAIR_BANDS, band_bits=_PAIR_BAND_BITS, seed=_PAIR_SEED
-    )
-    lsh = similarity.cosine_pairs_topk(emb, cand, k=20).select(
-        "vec_a", "vec_b"
-    )
+    lsh = similarity.banded_cosine_topk(
+        emb, k=20, n_bands=_PAIR_BANDS, band_bits=_PAIR_BAND_BITS,
+        seed=_PAIR_SEED,
+    ).select("vec_a", "vec_b")
     ov = exact.join(lsh, ["vec_a", "vec_b"]).agg(
         F.count("*").alias("n_overlap")
     )
@@ -515,18 +526,37 @@ def banded_matmul_parity(spark, sf_dir):
     ``n_sym_diff`` counts pairs in exactly one of the two sets — the
     oracle pins it to 0, so any sign divergence between the engine path
     and the oracle-parity path hash-mismatches; ``n_pairs`` is recomputed
-    independently by the oracle's own band replication."""
+    independently by the oracle's own band replication.
+
+    r7 plan change (same two values, exact set algebra): the two raw
+    candidate streams are tagged and unioned into ONE groupBy on the
+    pair key — per distinct pair, f/m record membership in the fold /
+    matmul sets (the groupBy subsumes both ``.distinct()`` calls), so
+    |fold| = sum(f) and |symmetric difference| = #{f != m}.  The old
+    plan paid two distinct shuffles plus two sort-merge anti-joins over
+    the full pair sets for the identical counts."""
     emb = _t(spark, sf_dir, "embeddings")
     kw = dict(
-        n_bands=_PAIR_BANDS, band_bits=_PAIR_BAND_BITS, seed=_PAIR_SEED
+        n_bands=_PAIR_BANDS, band_bits=_PAIR_BAND_BITS, seed=_PAIR_SEED,
+        distinct=False,
     )
     fold = similarity.banded_candidate_pairs(emb, method="fold", **kw)
     mm = similarity.banded_candidate_pairs(emb, method="matmul", **kw)
-    only_fold = fold.join(mm, ["vec_a", "vec_b"], "left_anti")
-    only_mm = mm.join(fold, ["vec_a", "vec_b"], "left_anti")
-    sym_diff = only_fold.unionByName(only_mm)
-    return fold.agg(F.count("*").alias("n_pairs")).crossJoin(
-        sym_diff.agg(F.count("*").alias("n_sym_diff"))
+    both = fold.select(
+        "vec_a", "vec_b", F.lit(1).alias("_f"), F.lit(0).alias("_m")
+    ).unionByName(
+        mm.select(
+            "vec_a", "vec_b", F.lit(0).alias("_f"), F.lit(1).alias("_m")
+        )
+    )
+    flags = both.groupBy("vec_a", "vec_b").agg(
+        F.max("_f").alias("f"), F.max("_m").alias("m")
+    )
+    return flags.agg(
+        F.coalesce(F.sum("f"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("f") != F.col("m"), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_sym_diff"),
     )
 
 
