@@ -78,6 +78,14 @@ def jaccard_pairs(
     inputs / LSH-candidate verification only)."""
     sh = shingles_df(documents, k, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # explicit partition count on the join key (r7): the shingle rows are
+    # byte-tiny, so AQE's size-based coalescing would fuse the shuffle to
+    # one partition and run the EXPLODING self-join (sum df^2 rows —
+    # boilerplate shingles shared by most docs make it quadratic in doc
+    # count) on a single core; an explicit count is exempt from
+    # coalescing, and the window/join reuse the partitioning
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    sh = sh.repartition(par, "shingle")
     if max_shingle_df is not None:
         dfreq = F.count("*").over(W.partitionBy("shingle"))
         sh = (

@@ -84,10 +84,30 @@ def q5_nation_revenue(spark, sf_dir):
 
 
 def topk_events_per_type(spark, sf_dir):
+    """Top-3 per event type.
+
+    r7 plan change (identical result): a deterministic salt splits each
+    type's window into `par` sub-windows first — the top-3 of a type is
+    contained in the union of its sub-window top-3s under the SAME total
+    order (value desc, event_id asc; at most 2 rows of the type outrank
+    a true top-3 row anywhere), so the global window then ranks only
+    ~3*types*par candidate rows.  The old single-level window sorted the
+    whole table in `n_types` tasks — at 5 types, 5 busy cores out of 32;
+    shuffled bytes are unchanged, the sort parallelism is now `par`."""
     ev = _t(spark, sf_dir, "events")
+    par = spark.sparkContext.defaultParallelism
+    salt = F.pmod(F.col("event_id"), F.lit(par))
+    wl = W.partitionBy("event_type", salt).orderBy(
+        F.desc("value"), "event_id"
+    )
+    cand = (
+        ev.withColumn("_rn", F.row_number().over(wl))
+        .filter(F.col("_rn") <= 3)
+        .drop("_rn")
+    )
     w = W.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
     return (
-        ev.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select(
             "event_type", "event_id", F.round("value", 4).alias("value"),
@@ -649,9 +669,16 @@ def _encoded_documents(spark, sf_dir: str, sort_cols=None) -> str:
     out = _ENCODE_CACHE.get(key)
     if out is None or not os.path.isdir(out):
         out = tempfile.mkdtemp(prefix="nem_mms_encq_")
+        # r7: aligned mode over an explicit 4-way repartition — doc_id is
+        # unique, so the salted mode's hot-detection aggregation (two
+        # jobs) can never find a hot key here, and the single-file scan
+        # gave ONE aligned partition (single-core encode).  Every query
+        # over the encoded output aggregates the full decoded multiset,
+        # which is invariant to the partition assignment.
         encode_dataframe(
-            spark, _t(spark, sf_dir, "documents"), out, key_col="doc_id",
-            num_parts=4, sort_cols=sort_cols, resume=False,
+            spark, _t(spark, sf_dir, "documents").repartition(16), out,
+            key_col="doc_id", num_parts=16, sort_cols=sort_cols,
+            resume=False, partitioning="aligned",
         )
         _ENCODE_CACHE[key] = out
         atexit.register(shutil.rmtree, out, ignore_errors=True)

@@ -38,10 +38,28 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash over sort-merge when the
+        # per-partition build side fits (guide §3.1): the TPC-H-style
+        # fact/dim joins here hash-build the smaller side instead of
+        # sorting both (measured on q3/q5; results join-order invariant)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # scan-parallelism floor (r7, guide §6): the testdata tables are
+        # single parquet files (lineitem sf1.0 = 126 MB), and the 128 MB
+        # maxPartitionBytes default turns every scan+aggregate into ONE
+        # task on a 32-core session.  minPartitionNum is the
+        # SCALE-ADAPTIVE knob: Spark derives the split size from
+        # input_bytes / cores (floored by openCostInBytes, capped by
+        # maxPartitionBytes), so small tables fan out across the session
+        # while terabyte scans keep their 128 MB splits — no constant
+        # tuned to either scale
+        .config(
+            "spark.sql.files.minPartitionNum",
+            os.environ.get("NEM_MMS_MIN_PARTITION_NUM", str(n_threads)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
