@@ -928,7 +928,16 @@ def _encode_parquet_salted(
     # least 16) still lands thousands of its rows — detection error is
     # a few percent, absorbed by the bucket-count inflation below.
     # Deterministic for a static listing (same caveat as cold part ids).
-    stride = max(1, len(paths) // 16)
+    # ASSUMPTION (r6 ADVICE): the error bound holds only when each hot
+    # key is spread roughly uniformly across source files — true for
+    # crawl-ordered ingest, NOT for a layout clustered by the key (e.g.
+    # files pre-sorted by host), where a key concentrated in non-sampled
+    # files is missed entirely and stays cold (oversized partition).
+    # For clustered sources set NEM_MMS_HOT_SAMPLE_STRIDE=1 (exact scan
+    # of every file's key column).
+    stride = int(
+        os.environ.get("NEM_MMS_HOT_SAMPLE_STRIDE", "0")
+    ) or max(1, len(paths) // 16)
     key_splits = [
         (i, p) for i, p in enumerate(paths) if i % stride == 0
     ]
