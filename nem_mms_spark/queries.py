@@ -46,7 +46,11 @@ def q1_pricing_summary(spark, sf_dir):
 
 def q3_shipping_priority(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-06-01")
+    # shuffled-hash build for the ~half-of-orders side (see q5 note):
+    # 0.97 -> 0.80 s warm and 5.8 -> 1.2 s cold at sf1.0
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-06-01"
+    ).hint("SHUFFLE_HASH")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-06-01")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -64,7 +68,13 @@ def q3_shipping_priority(spark, sf_dir):
 
 def q5_nation_revenue(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    # r7 (guide §3.1): the planner broadcast-joined the full orders table
+    # (driver collect + relation build of 1.5M rows at sf1.0 — measured
+    # 2.2 s vs 1.2 s with a shuffled-hash build); hash-partitioning both
+    # sides and hash-building orders per partition is strictly cheaper
+    # once orders outgrows a dimension table.  Join strategy does not
+    # change the joined multiset.
+    o = _t(spark, sf_dir, "orders").hint("SHUFFLE_HASH")
     li = _t(spark, sf_dir, "lineitem")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
