@@ -67,19 +67,37 @@ def quality_score(text: Column) -> Column:
     return F.round((len_ok + shape_ok + punct_ok) / 3.0, 4)
 
 
+def lang_marker_hits(toks: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over an already-tokenized
+    (lowercased) array — materialize these as named columns so the
+    decision chain below evaluates each count ONCE (inlined, every
+    `hits` tree is replicated ~3-4x through the when/greatest chain and
+    the interpreted array filters run that many extra times per row)."""
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id_from_hits(hits: dict[str, Column]) -> Column:
+    """The marker-count decision chain (unchanged logic) over
+    pre-computed hit counts."""
+    expr = F.lit("und")
+    best = F.lit(0)
+    for lang in LANG_MARKERS:
+        h = hits[lang]
+        expr = F.when(h > best, F.lit(lang)).otherwise(expr)
+        best = F.greatest(h, best)
+    return expr
+
+
 def lang_id_from_tokens(toks: Column) -> Column:
     """N-gram/stopword-marker language guess over LANG_MARKERS, taking an
     already-tokenized (lowercased) array.  Callers that materialize the
     token array once per row (a named projection column) pay the regex
     split a single time instead of once per language's marker filter —
     the r7 CSE restructure; the decision expression is unchanged."""
-    expr = F.lit("und")
-    best = F.lit(0)
-    for lang, markers in LANG_MARKERS.items():
-        hits = F.size(F.filter(toks, lambda t: t.isin(markers)))
-        expr = F.when(hits > best, F.lit(lang)).otherwise(expr)
-        best = F.greatest(hits, best)
-    return expr
+    return lang_id_from_hits(lang_marker_hits(toks))
 
 
 def lang_id(text: Column) -> Column:
@@ -109,18 +127,28 @@ def text_quality_df(documents: DataFrame) -> DataFrame:
         tokens_col(F.lower(F.col("text"))).alias("_ltoks"),
     )
     toks, ltoks = F.col("_toks"), F.col("_ltoks")
-    n = F.size(toks)
-    total = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    # second projection layer: every non-trivial measure ONCE per row as
+    # a named column — inlined, the fold/filter trees are replicated
+    # through the when-chains (awl appears 3x, the fold inside it each
+    # time) and interpreted HOFs re-run per replica
+    meas = base.select(
+        "doc_id",
+        F.size(toks).alias("_n"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("_total"),
+        F.size(F.filter(ltoks, lambda t: t.isin(STOPWORDS))).alias("_stop"),
+        F.size(ltoks).alias("_nl"),
+        punct_ratio(F.col("text")).alias("_pr"),
     )
-    awl = total / F.greatest(n, F.lit(1))
-    stop = F.size(F.filter(ltoks, lambda t: t.isin(STOPWORDS)))
-    swr = stop / F.greatest(F.size(ltoks), F.lit(1))
+    n = F.col("_n")
+    awl = F.col("_total") / F.greatest(n, F.lit(1))
+    swr = F.col("_stop") / F.greatest(F.col("_nl"), F.lit(1))
     len_ok = F.when((n >= 10) & (n <= 5000), 1.0).otherwise(0.3)
     shape_ok = F.when((awl >= 3) & (awl <= 12), 1.0).otherwise(0.5)
-    punct_ok = F.when(punct_ratio(F.col("text")) < 0.2, 1.0).otherwise(0.4)
+    punct_ok = F.when(F.col("_pr") < 0.2, 1.0).otherwise(0.4)
     quality = F.round((len_ok + shape_ok + punct_ok) / 3.0, 4)
-    return base.select(
+    return meas.select(
         "doc_id",
         n.alias("n_tokens"),
         F.round(awl, 4).alias("avg_token_len"),

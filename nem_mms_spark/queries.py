@@ -372,16 +372,26 @@ def token_counts_by_source(spark, sf_dir):
 
 
 def lang_id_accuracy(spark, sf_dir):
-    # r7: tokenize once per row (named projection column) and run the
-    # marker filters over the array — the old expression tree re-split
-    # the document once per language; decision logic unchanged.
+    # r7: tokenize once per row, then materialize each language's
+    # marker-hit count once as a named column — inlined, the old
+    # expression tree re-split the document per language AND replicated
+    # each hit count ~3-4x through the when/greatest decision chain
+    # (interpreted array filters re-ran per replica).  Decision logic
+    # unchanged.
     d = _t(spark, sf_dir, "documents")
     toked = d.select(
         "lang", T.tokens_col(F.lower(F.col("text"))).alias("_ltoks")
     )
-    pred = T.lang_id_from_tokens(F.col("_ltoks"))
+    hit_cols = T.lang_marker_hits(F.col("_ltoks"))
+    hits = toked.select(
+        "lang",
+        *[expr.alias(f"_h_{lang}") for lang, expr in hit_cols.items()],
+    )
+    pred = T.lang_id_from_hits(
+        {lang: F.col(f"_h_{lang}") for lang in hit_cols}
+    )
     return (
-        toked.withColumn("pred", pred)
+        hits.withColumn("pred", pred)
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
