@@ -24,6 +24,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _outgrew_broadcast(sf_dir: str, name: str, mb: int = 16) -> bool:
+    """Deliberate join-strategy rule (guide §3.1): hash-build a fact-ish
+    side per partition once its on-disk size outgrows cheap broadcasting;
+    below that, let the planner broadcast.  Decided from file METADATA
+    (no Spark job); an unstatable path (directory table at cluster
+    scale) counts as big — exactly when broadcasting would hurt most."""
+    try:
+        return os.path.getsize(f"{sf_dir}/{name}.parquet") > (mb << 20)
+    except OSError:
+        return True
+
+
 # ------------------------------------------------------ relational suite
 
 
@@ -46,11 +58,14 @@ def q1_pricing_summary(spark, sf_dir):
 
 def q3_shipping_priority(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    # shuffled-hash build for the ~half-of-orders side (see q5 note):
-    # 0.97 -> 0.80 s warm and 5.8 -> 1.2 s cold at sf1.0
+    # shuffled-hash build for the ~half-of-orders side once orders
+    # outgrows cheap broadcast (see q5 note): at sf1.0, 0.97 -> 0.80 s
+    # warm and 5.8 -> 1.2 s cold; at sf0.1 broadcast stays faster
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < "1995-06-01"
-    ).hint("SHUFFLE_HASH")
+    )
+    if _outgrew_broadcast(sf_dir, "orders"):
+        o = o.hint("SHUFFLE_HASH")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-06-01")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -71,10 +86,13 @@ def q5_nation_revenue(spark, sf_dir):
     # r7 (guide §3.1): the planner broadcast-joined the full orders table
     # (driver collect + relation build of 1.5M rows at sf1.0 — measured
     # 2.2 s vs 1.2 s with a shuffled-hash build); hash-partitioning both
-    # sides and hash-building orders per partition is strictly cheaper
-    # once orders outgrows a dimension table.  Join strategy does not
-    # change the joined multiset.
-    o = _t(spark, sf_dir, "orders").hint("SHUFFLE_HASH")
+    # sides and hash-building orders per partition wins once orders
+    # outgrows a dimension table — below that, broadcast stays cheaper
+    # and the hint is skipped.  Join strategy does not change the joined
+    # multiset.
+    o = _t(spark, sf_dir, "orders")
+    if _outgrew_broadcast(sf_dir, "orders"):
+        o = o.hint("SHUFFLE_HASH")
     li = _t(spark, sf_dir, "lineitem")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
