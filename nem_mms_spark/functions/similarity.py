@@ -455,16 +455,40 @@ def _bucket_pairs(
                 ids = np.sort(
                     np.asarray(lv[j].values.to_numpy(zero_copy_only=False))
                 )
-                iu = np.triu_indices(len(ids), k=1)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(ids[iu[0]], type=pa.int64()),
-                        pa.array(ids[iu[1]], type=pa.int64()),
-                    ],
-                    schema=out_schema,
-                )
+                for iu0, iu1 in _triangle_chunks(len(ids)):
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(ids[iu0], type=pa.int64()),
+                            pa.array(ids[iu1], type=pa.int64()),
+                        ],
+                        schema=out_schema,
+                    )
 
     return grouped.mapInArrow(enum, "vec_a long, vec_b long")
+
+
+_MAX_CHUNK_PAIRS = 4 << 20
+
+
+def _triangle_chunks(b: int, max_pairs: int = _MAX_CHUNK_PAIRS):
+    """Yield the i<k index pairs of a b-element upper triangle in
+    bounded-size chunks (row bands).  One-shot triu_indices for small
+    triangles (the common case — identical arrays, zero overhead); a
+    bucket just under a large ``max_bucket`` cap would otherwise
+    materialize its whole b^2/2 triangle (~80 GB at b=100k) in one
+    allocation."""
+    if b < 2:
+        return
+    if b * (b - 1) // 2 <= max_pairs:
+        iu = np.triu_indices(b, k=1)
+        yield iu[0], iu[1]
+        return
+    rows_per = max(1, max_pairs // b)
+    for s in range(0, b - 1, rows_per):
+        e = min(s + rows_per, b - 1)
+        mask = np.arange(b)[None, :] > np.arange(s, e)[:, None]
+        ii, kk = np.nonzero(mask)
+        yield ii + s, kk
 
 
 def _band_sigs(
@@ -757,22 +781,32 @@ def banded_cosine_topk(
                 idx = np.searchsorted(g_ids, ids)
                 m = np.ascontiguousarray(g_mat[idx])
                 nrm = g_norms[idx]
-                cb = (m @ m.T) / np.outer(nrm, nrm)
-                iu0, iu1 = np.triu_indices(len(ids), k=1)
-                vals = cb[iu0, iu1]
-                if len(vals) > k:
-                    kth = np.partition(vals, len(vals) - k)[len(vals) - k]
-                    keep = np.flatnonzero(vals >= kth - 1e-9)
-                    iu0, iu1 = iu0[keep], iu1[keep]
-                # exact fold cosine on the surviving superset only
-                dot = _fold_pair_dots(
-                    np.ascontiguousarray(m[iu0]),
-                    np.ascontiguousarray(m[iu1]),
-                )
-                cos = dot / (nrm[iu0] * nrm[iu1])
-                acc_a.append(ids[iu0])
-                acc_b.append(ids[iu1])
-                acc_c.append(cos)
+                # triangle in bounded row-band chunks (one chunk at
+                # bench bucket sizes): the Gram rows are computed per
+                # band, so a bucket just under a large cap never
+                # materializes its whole b^2 matrix; the prescreen's
+                # gamma-bound + 1e-9 margin is blocking-agnostic, so
+                # any BLAS row-band split leaves the fold-exact result
+                # unchanged
+                for iu0, iu1 in _triangle_chunks(len(ids)):
+                    lo, hi = int(iu0[0]), int(iu0[-1]) + 1
+                    gc = m[lo:hi] @ m.T
+                    vals = gc[iu0 - lo, iu1] / (nrm[iu0] * nrm[iu1])
+                    if len(vals) > k:
+                        kth = np.partition(vals, len(vals) - k)[
+                            len(vals) - k
+                        ]
+                        keep = np.flatnonzero(vals >= kth - 1e-9)
+                        iu0, iu1 = iu0[keep], iu1[keep]
+                    # exact fold cosine on the surviving superset only
+                    dot = _fold_pair_dots(
+                        np.ascontiguousarray(m[iu0]),
+                        np.ascontiguousarray(m[iu1]),
+                    )
+                    cos = dot / (nrm[iu0] * nrm[iu1])
+                    acc_a.append(ids[iu0])
+                    acc_b.append(ids[iu1])
+                    acc_c.append(cos)
         if acc_a:
             a = np.concatenate(acc_a)
             b = np.concatenate(acc_b)
@@ -855,7 +889,20 @@ def exact_pairs_topk(
         ).collect()[0]
         n, dim = int(row["n"]), int(row["d"] or 0)
         bytes_per_vec = dim * 4 + 16  # float32 payload + id + offsets
-        n_blocks = max(8, -(-(n * bytes_per_vec) // max_block_bytes))
+        # two bounds (r7 added the second): the packed ROW must fit
+        # max_block_bytes of vector payload (Arrow element limit), and
+        # the per-task GRAM matrix (rows_a x rows_b float64) must stay
+        # ~64 MB — at 10x the bench scale the row bound alone allowed
+        # ~25k-row blocks whose 5 GB Gram would OOM the worker.  More
+        # blocks never changes the result (exact all-pairs top-k is
+        # invariant to the block partition); at every bench scale the
+        # floor of 8 still dominates, so plans there are unchanged.
+        gram_rows = max(1, int((64 << 20) ** 0.5 // 8))  # ~2.8k rows
+        n_blocks = max(
+            8,
+            -(-(n * bytes_per_vec) // max_block_bytes),
+            -(-n // gram_rows),
+        )
 
     packed = embeddings.groupBy(
         F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("blk")

@@ -250,6 +250,20 @@ def clustered_embeddings(spark):
     )
 
 
+def test_triangle_chunks_cover_triangle_exactly():
+    """Bounded-chunk triangle enumeration must emit every i<k pair
+    exactly once, at any chunk bound (incl. the one-shot small path)."""
+    for b in [0, 1, 2, 3, 5, 37, 100]:
+        want = set(zip(*np.triu_indices(b, 1)))
+        for mp in [3, 10, 64, 1 << 30]:
+            got = []
+            for i0, i1 in S._triangle_chunks(b, mp):
+                assert (i0 < i1).all()
+                got += list(zip(i0.tolist(), i1.tolist()))
+            assert len(got) == len(set(got)) == len(want)
+            assert set(got) == want
+
+
 def test_cosine_pairs_topk_handles_duplicate_pairs(spark):
     """cosine_pairs_topk dedups per task + final distinct: feeding the
     raw (per-band) candidate stream returns the identical top-k as the
