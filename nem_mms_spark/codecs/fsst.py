@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from nem_mms_spark.codecs import native
 from nem_mms_spark.codecs.primitives import pack_uints, unpack_uints, bit_width
 
 _SENTINEL = np.int32(-1)
@@ -38,11 +39,12 @@ class FsstTable:
     gather is linear)."""
 
     __slots__ = ("symbol_bytes", "code1", "slot_val", "slot_msk",
-                 "slot_len", "slot_code", "slot_cnt", "n_slots")
+                 "slot_len", "slot_code", "slot_cnt", "n_slots", "csr")
 
     def __init__(self, symbol_bytes: list[bytes]):
         # symbol_bytes[i] is the symbol for code i+1
         self.symbol_bytes = symbol_bytes
+        self.csr = None  # lazy 2-byte-prefix CSR for the native matcher
         # direct lookup for 1-byte symbols: byte -> code (0 = none)
         self.code1 = np.zeros(256, dtype=np.int32)
         groups: dict[int, list[int]] = {}
@@ -80,6 +82,44 @@ class FsstTable:
             out.append(len(sym))
             out += sym
         return bytes(out)
+
+
+def _table_csr(table: FsstTable):
+    """2-byte-prefix CSR over the multi-byte symbols for the native
+    matcher: entries in symbol-index order per prefix (== the numpy slot
+    order), so the strictly-longer tie-break picks the same code."""
+    if table.csr is None:
+        groups: dict[int, list[int]] = {}
+        for i, s in enumerate(table.symbol_bytes):
+            if len(s) >= 2:
+                groups.setdefault(s[0] | (s[1] << 8), []).append(i)
+        n_ent = sum(len(v) for v in groups.values())
+        bstart = np.zeros(65537, dtype=np.int32)
+        bval = np.empty(n_ent, dtype=np.uint64)
+        bmsk = np.empty(n_ent, dtype=np.uint64)
+        blen = np.empty(n_ent, dtype=np.int32)
+        bcode = np.empty(n_ent, dtype=np.int32)
+        for pfx, idxs in groups.items():
+            bstart[pfx + 1] = len(idxs)
+        np.cumsum(bstart, out=bstart)
+        pos = bstart[:-1].copy()
+        for pfx, idxs in groups.items():
+            p = pos[pfx]
+            for i in idxs:
+                sym = table.symbol_bytes[i]
+                ln = len(sym)
+                bval[p] = np.uint64(int.from_bytes(sym, "little"))
+                bmsk[p] = np.uint64(
+                    (1 << (8 * ln)) - 1 if ln < 8 else 0xFFFFFFFFFFFFFFFF
+                )
+                blen[p] = ln
+                bcode[p] = i + 1
+                p += 1
+        table.csr = (
+            np.ascontiguousarray(table.code1, dtype=np.int32),
+            bstart, bval, bmsk, blen, bcode,
+        )
+    return table.csr
 
 
 def _tokenize(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -237,7 +277,21 @@ def encode(
     nb = int(offsets[-1]) if n else 0
     data = np.ascontiguousarray(data[:nb])
 
-    if nb:
+    if nb and native.lib is not None:
+        # native greedy matcher: one linear C pass over every string,
+        # byte-identical to the frontier loop below (same longest-match
+        # and slot-order tie-break; pinned by test_native_kernels)
+        dpad = np.concatenate([data, np.zeros(MAX_SYMBOL_LEN, dtype=np.uint8)])
+        code1, bstart, bval, bmsk, blen, bcode = _table_csr(table)
+        out = np.empty(2 * nb, dtype=np.uint8)
+        enc_lengths = np.empty(n, dtype=np.int64)
+        offs = np.ascontiguousarray(offsets, dtype=np.int64)
+        total = native.lib.nem_fsst_encode(
+            dpad, offs, n, code1, bstart, bval, bmsk, blen, bcode,
+            out, enc_lengths,
+        )
+        stream = out[:total]
+    elif nb:
         lengths = np.diff(offsets)
         dpad = np.concatenate([data, np.zeros(MAX_SYMBOL_LEN, dtype=np.uint8)])
 

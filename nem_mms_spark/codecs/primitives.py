@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from nem_mms_spark.codecs import native as _native
+
 _RAW_WIDTH = 64  # sentinel: store as raw int64/uint64 words
 _PACK_ROWS_PER_CHUNK = 1024  # 1024 rows x 64 lanes x 8 B = 512 KB per chunk
 
@@ -38,6 +40,11 @@ def pack_uints(values: np.ndarray, width: int) -> bytes:
         return b""
     if width > 56:
         return values.astype("<u8").tobytes()
+    if _native.lib is not None:
+        v = np.ascontiguousarray(values, dtype=np.uint64)
+        out = np.empty((n * width + 7) // 8, dtype=np.uint8)
+        _native.lib.nem_pack_uints(v, n, width, out)
+        return out.tobytes()
     v = values.astype(np.uint64, copy=False)
     m = (n + 63) // 64
     if n != m * 64:
@@ -76,6 +83,16 @@ def unpack_uints(payload: bytes, width: int, count: int) -> np.ndarray:
         return np.zeros(count, dtype=np.uint64)
     if width > 56:
         return np.frombuffer(payload, dtype="<u8", count=count).astype(np.uint64)
+    if _native.lib is not None:
+        need = (count * width + 7) // 8
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        if len(buf) < need:
+            pad = np.zeros(need, dtype=np.uint8)
+            pad[: len(buf)] = buf
+            buf = pad
+        out = np.empty(count, dtype=np.uint64)
+        _native.lib.nem_unpack_uints(np.ascontiguousarray(buf), count, width, out)
+        return out
     m = (count + 63) // 64
     need = m * width * 8
     buf = bytes(payload)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from nem_mms_spark.codecs import native
 from nem_mms_spark.codecs.primitives import (
     bit_width,
     decode_offsets_data,
@@ -39,6 +40,15 @@ def tokenize(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     nb = int(offsets[-1]) if len(offsets) > 1 else 0
     if nb == 0:
         return offsets.astype(np.int64, copy=True)
+    if native.lib is not None:
+        offs = np.ascontiguousarray(offsets, dtype=np.int64)
+        n = len(offs) - 1
+        # worst-case sizing (all spaces); the empty alloc is virtual-only
+        # so the untouched tail costs nothing — cheaper than a counting
+        # pre-pass over the chunk
+        out = np.empty(nb - int(offs[0]) + n + 2, dtype=np.int64)
+        m = native.lib.nem_wd_tokenize(np.ascontiguousarray(data), offs, n, out)
+        return out[:m]
     spaces = np.flatnonzero(data[:nb] == _SPACE).astype(np.int64)
     spaces += 1
     offs = offsets.astype(np.int64, copy=False)
