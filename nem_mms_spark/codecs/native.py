@@ -33,9 +33,27 @@ _p_i64 = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
 _p_i32 = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 
 
+def _source() -> bytes:
+    """Kernel C source, readable also when the package ships as a zip
+    (spark-submit --py-files): resources first, plain file fallback."""
+    try:
+        from importlib import resources
+
+        return (
+            resources.files("nem_mms_spark.codecs")
+            .joinpath("_kernels.c")
+            .read_bytes()
+        )
+    except Exception:
+        with open(_SRC, "rb") as fh:
+            return fh.read()
+
+
 def _build() -> ctypes.CDLL | None:
-    with open(_SRC, "rb") as fh:
-        src = fh.read()
+    try:
+        src = _source()
+    except Exception:
+        return None
     tag = hashlib.sha256(src).hexdigest()[:16]
     for root in ("/dev/shm", tempfile.gettempdir()):
         cache = os.path.join(root, "nem_mms_native")
@@ -43,10 +61,15 @@ def _build() -> ctypes.CDLL | None:
         try:
             if not os.path.exists(so):
                 os.makedirs(cache, exist_ok=True)
+                csrc = os.path.join(cache, f"kernels_{tag}.c")
+                ctmp = f"{csrc}.{os.getpid()}.tmp"
+                with open(ctmp, "wb") as fh:
+                    fh.write(src)
+                os.rename(ctmp, csrc)
                 tmp = f"{so}.{os.getpid()}.tmp"
                 subprocess.run(
                     ["gcc", "-O3", "-shared", "-fPIC",
-                     "-fno-strict-aliasing", "-o", tmp, _SRC],
+                     "-fno-strict-aliasing", "-x", "c", "-o", tmp, csrc],
                     check=True, capture_output=True, timeout=120,
                 )
                 os.rename(tmp, so)

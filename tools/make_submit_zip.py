@@ -38,7 +38,7 @@ def build_zip(repo_root: str, out_path: str) -> list[str]:
     for root, dirs, files in os.walk(pkg_dir):
         dirs[:] = sorted(d for d in dirs if d != "__pycache__")
         for f in sorted(files):
-            if f.endswith(".py"):
+            if f.endswith((".py", ".c")):  # .c: native kernel source
                 full = os.path.join(root, f)
                 members.append((full, os.path.relpath(full, repo_root)))
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
