@@ -200,22 +200,39 @@ def portable_token_hash(col) -> "F.Column":
 
 def simhash_df(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """SimHash per doc: sign of per-bit sums of token hashes, SIMHASH_BITS
-    wide.  Pure JVM aggregation (map-side partial sums keep the shuffle at
-    one row per doc)."""
+    wide.  Pure JVM integer aggregation, two-level by (doc, bit).
+
+    r7 plan change (identical simhash values — exact integer math): the
+    previous one-shuffle shape aggregated 60 separate ``sum(when(...))``
+    expressions and then folded them through a 60-term when/add chain;
+    Catalyst spent ~0.9 s PER INVOCATION analyzing that tree (measured:
+    ``executedPlan`` alone, vs ~0.1 s for this shape), a fixed cost that
+    dominated the query wall at every scale.  Here each token row
+    explodes into SIMHASH_BITS (doc, bit, ±1) rows — pre-aggregated
+    map-side by the partial hash agg, so the first shuffle carries at
+    most SIMHASH_BITS 3-int rows per doc — and the per-bit sums fold
+    into the fingerprint with a second tiny byte-bounded agg.  The plan
+    has O(1) expressions in SIMHASH_BITS, and per-doc shuffle bytes stay
+    far below the doc's own text bytes that the tokenize stage already
+    scanned."""
     toks = documents.select(
         id_col, F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
     ).withColumn("h", portable_token_hash(F.col("tok")))
-    bit_sums = [
+    bits = toks.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
+        "h",
+    ).select(
+        id_col,
+        "i",
+        F.when(F.expr("shiftright(h, i)").bitwiseAND(F.lit(1)) == 1, 1)
+        .otherwise(-1)
+        .alias("pm"),
+    )
+    per_bit = bits.groupBy(id_col, "i").agg(F.sum("pm").alias("s"))
+    return per_bit.groupBy(id_col).agg(
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(SIMHASH_BITS)
-    ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
-    sim = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(
-            F.lit(0).cast("long")
-        )
-    return agg.select(id_col, sim.alias("simhash"))
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), i)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
