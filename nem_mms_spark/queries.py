@@ -468,14 +468,24 @@ def minhash_lsh_recall(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     true_pairs = dedup.jaccard_pairs(d, k=1, threshold=0.9)
     cand = dedup.lsh_candidate_pairs(d, n_perm=32, bands=16, k=1)
-    missed = true_pairs.select("doc_a", "doc_b").join(
-        cand, ["doc_a", "doc_b"], "left_anti"
+    # r7 plan change (identical three values): the old shape referenced
+    # the true-pairs subtree twice (once under the stats agg, once under
+    # a left-anti join) and cross-joined the two aggregates — Spark
+    # plans are trees, so the whole shingle self-join EXECUTED twice.
+    # A left join with a candidate marker computes membership and the
+    # stats in ONE pass over one true-pairs subtree: count/sum are the
+    # same aggregates, and `_hit is null` is exactly the left-anti
+    # predicate (cand is distinct, so the join never duplicates rows).
+    joined = true_pairs.select("doc_a", "doc_b", "n_common").join(
+        cand.withColumn("_hit", F.lit(1)), ["doc_a", "doc_b"], "left"
     )
-    stats = true_pairs.agg(
+    return joined.agg(
         F.count("*").alias("n_true_pairs"),
         F.sum("n_common").alias("sum_common"),
+        F.coalesce(
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_missed"),
     )
-    return stats.crossJoin(missed.agg(F.count("*").alias("n_missed")))
 
 
 def simhash_fingerprints(spark, sf_dir):
