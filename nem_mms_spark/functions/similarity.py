@@ -415,6 +415,29 @@ def banded_candidate_pairs(
     return raw.distinct() if distinct else raw
 
 
+def band_sigs(
+    embeddings: DataFrame,
+    n_bands: int = 8,
+    band_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    method: str = "fold",
+) -> DataFrame:
+    """The (id, band, sig) signature table underlying
+    ``banded_candidate_pairs`` — one row per (id, band), same planes,
+    same sig construction, exposed so consumers can compare the two
+    engine paths on the LIGHTWEIGHT proxy (3-int rows) instead of their
+    derived O(sum bucket^2) pair sets: identical sig tables imply
+    identical band buckets, hence identical enumerated pair multisets
+    (the enumeration is a pure function of the buckets)."""
+    planes = hyperplanes(
+        _dim_of(embeddings, vec_col), n_bands * band_bits, seed
+    )
+    sig_fn = _band_sigs_matmul if method == "matmul" else _band_sigs
+    return sig_fn(embeddings, planes, n_bands, band_bits, id_col, vec_col)
+
+
 def _bucket_pairs(
     tagged: DataFrame, id_col: str, max_bucket: int | None
 ) -> DataFrame:

@@ -629,13 +629,43 @@ def banded_matmul_parity(spark, sf_dir):
     matmul sets (the groupBy subsumes both ``.distinct()`` calls), so
     |fold| = sum(f) and |symmetric difference| = #{f != m}.  The old
     plan paid two distinct shuffles plus two sort-merge anti-joins over
-    the full pair sets for the identical counts."""
+    the full pair sets for the identical counts.
+
+    r7 refinement (guide §8: decide on a lightweight proxy, not the
+    heavy derived product): the pair sets are pure functions of the two
+    (id, band, sig) signature tables — identical sig tables mean
+    identical band buckets, identical bucket filters, and therefore
+    identical enumerated pair sets.  So the divergence is measured
+    FIRST on the sig tables (n * n_bands rows of three ints, one tiny
+    broadcast join) instead of on the ~O(sum bucket^2) pair sets.  When
+    the tables agree elementwise — the design-expected case — the
+    symmetric difference is empty BY THAT MEASUREMENT, and only one
+    pair stream pays enumeration + the distinct shuffle for n_pairs
+    (half the shuffled rows, half the enumeration of the old plan).
+    Any sig divergence falls back to the exact pair-level set algebra
+    above, which computes the true counts for exactly the rows the
+    oracle pins — the restructure changes which evidence proves
+    n_sym_diff, never its value."""
     emb = _t(spark, sf_dir, "embeddings")
-    kw = dict(
-        n_bands=_PAIR_BANDS, band_bits=_PAIR_BAND_BITS, seed=_PAIR_SEED,
-        distinct=False,
+    sig_kw = dict(
+        n_bands=_PAIR_BANDS, band_bits=_PAIR_BAND_BITS, seed=_PAIR_SEED
     )
+    fold_sigs = similarity.band_sigs(emb, method="fold", **sig_kw)
+    mm_sigs = similarity.band_sigs(emb, method="matmul", **sig_kw).select(
+        F.col("vec_id"), F.col("band"), F.col("sig").alias("_msig")
+    )
+    n_sig_diff = (
+        fold_sigs.join(F.broadcast(mm_sigs), ["vec_id", "band"])
+        .filter(F.col("sig") != F.col("_msig"))
+        .count()
+    )
+    kw = dict(**sig_kw, distinct=False)
     fold = similarity.banded_candidate_pairs(emb, method="fold", **kw)
+    if n_sig_diff == 0:
+        return fold.agg(
+            F.countDistinct("vec_a", "vec_b").cast("long").alias("n_pairs"),
+            F.lit(0).cast("long").alias("n_sym_diff"),
+        )
     mm = similarity.banded_candidate_pairs(emb, method="matmul", **kw)
     both = fold.select(
         "vec_a", "vec_b", F.lit(1).alias("_f"), F.lit(0).alias("_m")

@@ -275,3 +275,66 @@ def test_cosine_pairs_topk_handles_duplicate_pairs(spark):
     b = [tuple(r) for r in S.cosine_pairs_topk(emb, raw, k=20).collect()]
     assert a == b
     assert len(a) > 0
+
+
+def test_banded_parity_proxy_matches_pair_level_set_algebra(spark):
+    """banded_matmul_parity's sig-proxy branch must return exactly the
+    pair-level set algebra it replaced: n_pairs = |fold pair set| and
+    n_sym_diff = |fold set ^ matmul set|, recomputed here independently
+    by materializing both sets."""
+    from nem_mms_spark import queries as Q
+
+    res = Q.banded_matmul_parity(spark, SF_SMALL).collect()[0]
+    kw = dict(
+        n_bands=Q._PAIR_BANDS, band_bits=Q._PAIR_BAND_BITS,
+        seed=Q._PAIR_SEED, distinct=False,
+    )
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    fold = {
+        (r.vec_a, r.vec_b)
+        for r in S.banded_candidate_pairs(emb, method="fold", **kw).collect()
+    }
+    mm = {
+        (r.vec_a, r.vec_b)
+        for r in S.banded_candidate_pairs(emb, method="matmul", **kw).collect()
+    }
+    assert res.n_pairs == len(fold) > 0
+    assert res.n_sym_diff == len(fold ^ mm)
+
+
+def test_banded_parity_fallback_on_sig_divergence(spark, monkeypatch):
+    """When the matmul sig table diverges, the query must take the
+    pair-level fallback and report the TRUE counts for the perturbed
+    engine path (not the proxy shortcut's zero)."""
+    from nem_mms_spark import queries as Q
+
+    orig = S._band_sigs_matmul
+
+    def perturbed(embeddings, planes, n_bands, band_bits, id_col, vec_col):
+        out = orig(embeddings, planes, n_bands, band_bits, id_col, vec_col)
+        # flip the sig of one (id, band) row: vec 0, band 0
+        return out.withColumn(
+            "sig",
+            F.when(
+                (F.col(id_col) == 0) & (F.col("band") == 0),
+                F.col("sig") + 1,
+            ).otherwise(F.col("sig")),
+        )
+
+    monkeypatch.setattr(S, "_band_sigs_matmul", perturbed)
+    res = Q.banded_matmul_parity(spark, SF_SMALL).collect()[0]
+    kw = dict(
+        n_bands=Q._PAIR_BANDS, band_bits=Q._PAIR_BAND_BITS,
+        seed=Q._PAIR_SEED, distinct=False,
+    )
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    fold = {
+        (r.vec_a, r.vec_b)
+        for r in S.banded_candidate_pairs(emb, method="fold", **kw).collect()
+    }
+    mm = {
+        (r.vec_a, r.vec_b)
+        for r in S.banded_candidate_pairs(emb, method="matmul", **kw).collect()
+    }
+    assert res.n_pairs == len(fold)
+    assert res.n_sym_diff == len(fold ^ mm)
