@@ -338,3 +338,49 @@ def test_banded_parity_fallback_on_sig_divergence(spark, monkeypatch):
     }
     assert res.n_pairs == len(fold)
     assert res.n_sym_diff == len(fold ^ mm)
+
+
+def test_topk_prefilter_matches_window_plan(spark):
+    """The batch-local top-3 prefilter plan must return exactly the
+    pure-window plan's rows on adversarial data: NaN values (Spark desc
+    ranks NaN first), null values (nulls last), exact ties broken by
+    event_id, and groups thinner than 3."""
+    import math
+
+    from nem_mms_spark import queries as Q
+
+    rows = []
+    # ties, NaN, nulls across two types; many duplicated values
+    vals = [5.0, 5.0, 5.0, 5.0, float("nan"), None, 3.0, 3.0, 0.0, -0.0,
+            -1.5, float("nan"), None, 7.25, 7.25]
+    for t in ("a", "b"):
+        for i, v in enumerate(vals):
+            rows.append((t, i * 2 + (0 if t == "a" else 1), v))
+    rows.append(("thin", 999, 1.0))  # group with a single row
+    ev = spark.createDataFrame(
+        rows, "event_type string, event_id long, value double"
+    )
+    for par in (1, 4, 32):
+        a = sorted(
+            map(tuple, Q._topk_events_windows(ev, par).collect()),
+            key=lambda r: (r[0], r[3]),
+        )
+        b = sorted(
+            map(tuple, Q._topk_events_prefiltered(ev, par).collect()),
+            key=lambda r: (r[0], r[3]),
+        )
+        assert [
+            (t, e, None if v is None or math.isnan(v) else v, rn)
+            for t, e, v, rn in a
+        ] == [
+            (t, e, None if v is None or math.isnan(v) else v, rn)
+            for t, e, v, rn in b
+        ]
+        # NaN positions must agree too
+        assert [
+            (isinstance(v, float) and math.isnan(v)) for *_x, v, _rn in
+            [(t, e, v, rn) for t, e, v, rn in a]
+        ] == [
+            (isinstance(v, float) and math.isnan(v)) for *_x, v, _rn in
+            [(t, e, v, rn) for t, e, v, rn in b]
+        ]
