@@ -384,3 +384,47 @@ def test_topk_prefilter_matches_window_plan(spark):
             (isinstance(v, float) and math.isnan(v)) for *_x, v, _rn in
             [(t, e, v, rn) for t, e, v, rn in b]
         ]
+
+
+def test_sort_by_unless_sorted_matches_sort_by():
+    """The monotonicity skip must be byte-identical to sort_by on every
+    shape: strictly sorted (skip path), ties, unsorted, nulls, NaN,
+    floats, multi-key, and trivial sizes."""
+    import pyarrow as pa
+
+    from nem_mms_spark.jobs.encode import _sort_by_unless_sorted
+
+    cases = [
+        ({"k": [1, 2, 3, 5], "v": ["a", "b", "c", "d"]}, ["k"]),
+        ({"k": [1, 2, 2, 5], "v": ["a", "b", "c", "d"]}, ["k"]),  # ties
+        ({"k": [5, 1, 3, 2], "v": ["a", "b", "c", "d"]}, ["k"]),  # unsorted
+        ({"k": [1, None, 3, 4], "v": list("abcd")}, ["k"]),       # nulls
+        ({"k": [1.0, float("nan"), 3.0], "v": list("abc")}, ["k"]),
+        ({"k": [1.5, 2.5, 3.5], "v": list("abc")}, ["k"]),        # floats
+        ({"k": [1, 1, 2], "j": [2, 1, 0], "v": list("abc")}, ["k", "j"]),
+        ({"k": [7], "v": ["a"]}, ["k"]),
+        ({"k": [], "v": []}, ["k"]),
+    ]
+    def canon(t):
+        # NaN-tolerant row compare (Table.equals treats NaN != NaN)
+        import math
+
+        return [
+            [
+                "nan" if isinstance(x, float) and math.isnan(x) else x
+                for x in row
+            ]
+            for row in zip(*t.to_pydict().values())
+        ]
+
+    for data, cols in cases:
+        tbl = pa.table(data)
+        want = tbl.sort_by([(c, "ascending") for c in cols])
+        got = _sort_by_unless_sorted(tbl, cols)
+        assert canon(got) == canon(want), (data, cols)
+    # timestamp key (the ingest shape): strictly increasing -> identity
+    import numpy as np
+
+    ts = pa.array(np.arange(10, dtype="int64"), type=pa.timestamp("us"))
+    tbl = pa.table({"warc_ts": ts, "v": [str(i) for i in range(10)]})
+    assert _sort_by_unless_sorted(tbl, ["warc_ts"]) is tbl
