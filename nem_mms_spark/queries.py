@@ -742,8 +742,23 @@ def banded_matmul_parity(spark, sf_dir):
     Any sig divergence falls back to the exact pair-level set algebra
     above, which computes the true counts for exactly the rows the
     oracle pins — the restructure changes which evidence proves
-    n_sym_diff, never its value."""
+    n_sym_diff, never its value.
+
+    SIZE-GATED (interleaved paired reps on this box): the proxy's
+    fixed costs — one extra fold-sig scan, the compare job, the count
+    action — only pay for themselves once the pair streams are large
+    (2k vectors: +0.08 s; 8k: flat; 20k / 25M pairs: −1.0 s and
+    growing quadratically with n), so below a 4 MB embeddings-file
+    metadata gate the one-job tagged-union plan is kept."""
     emb = _t(spark, sf_dir, "embeddings")
+    if _outgrew_broadcast(sf_dir, "embeddings", mb=4):
+        return _banded_parity_sig_proxy(emb)
+    return _banded_parity_pair_level(emb)
+
+
+def _banded_parity_sig_proxy(emb: DataFrame) -> DataFrame:
+    """Sig-table proxy decision + single-stream count (the at-scale
+    plan; falls back to the pair-level set algebra on any divergence)."""
     sig_kw = dict(
         n_bands=_PAIR_BANDS, band_bits=_PAIR_BAND_BITS, seed=_PAIR_SEED
     )
@@ -756,13 +771,26 @@ def banded_matmul_parity(spark, sf_dir):
         .filter(F.col("sig") != F.col("_msig"))
         .count()
     )
-    kw = dict(**sig_kw, distinct=False)
-    fold = similarity.banded_candidate_pairs(emb, method="fold", **kw)
     if n_sig_diff == 0:
+        fold = similarity.banded_candidate_pairs(
+            emb, method="fold", distinct=False, **sig_kw
+        )
         return fold.agg(
             F.countDistinct("vec_a", "vec_b").cast("long").alias("n_pairs"),
             F.lit(0).cast("long").alias("n_sym_diff"),
         )
+    return _banded_parity_pair_level(emb)
+
+
+def _banded_parity_pair_level(emb: DataFrame) -> DataFrame:
+    """Exact pair-level set algebra: one tagged-union groupBy over both
+    raw candidate streams (the small-table plan and the proxy's
+    fallback)."""
+    kw = dict(
+        n_bands=_PAIR_BANDS, band_bits=_PAIR_BAND_BITS, seed=_PAIR_SEED,
+        distinct=False,
+    )
+    fold = similarity.banded_candidate_pairs(emb, method="fold", **kw)
     mm = similarity.banded_candidate_pairs(emb, method="matmul", **kw)
     both = fold.select(
         "vec_a", "vec_b", F.lit(1).alias("_f"), F.lit(0).alias("_m")

@@ -278,13 +278,18 @@ def test_cosine_pairs_topk_handles_duplicate_pairs(spark):
 
 
 def test_banded_parity_proxy_matches_pair_level_set_algebra(spark):
-    """banded_matmul_parity's sig-proxy branch must return exactly the
-    pair-level set algebra it replaced: n_pairs = |fold pair set| and
-    n_sym_diff = |fold set ^ matmul set|, recomputed here independently
-    by materializing both sets."""
+    """The sig-proxy plan (the above-the-size-gate branch of
+    banded_matmul_parity) must return exactly the pair-level set
+    algebra it replaces: n_pairs = |fold pair set| and n_sym_diff =
+    |fold set ^ matmul set|, recomputed here independently by
+    materializing both sets."""
     from nem_mms_spark import queries as Q
 
-    res = Q.banded_matmul_parity(spark, SF_SMALL).collect()[0]
+    emb0 = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    res = Q._banded_parity_sig_proxy(emb0).collect()[0]
+    assert (
+        Q._banded_parity_pair_level(emb0).collect()[0] == res
+    )  # both branches, same values
     kw = dict(
         n_bands=Q._PAIR_BANDS, band_bits=Q._PAIR_BAND_BITS,
         seed=Q._PAIR_SEED, distinct=False,
@@ -303,9 +308,9 @@ def test_banded_parity_proxy_matches_pair_level_set_algebra(spark):
 
 
 def test_banded_parity_fallback_on_sig_divergence(spark, monkeypatch):
-    """When the matmul sig table diverges, the query must take the
-    pair-level fallback and report the TRUE counts for the perturbed
-    engine path (not the proxy shortcut's zero)."""
+    """When the matmul sig table diverges, the sig-proxy branch must
+    take the pair-level fallback and report the TRUE counts for the
+    perturbed engine path (not the proxy shortcut's zero)."""
     from nem_mms_spark import queries as Q
 
     orig = S._band_sigs_matmul
@@ -322,7 +327,8 @@ def test_banded_parity_fallback_on_sig_divergence(spark, monkeypatch):
         )
 
     monkeypatch.setattr(S, "_band_sigs_matmul", perturbed)
-    res = Q.banded_matmul_parity(spark, SF_SMALL).collect()[0]
+    emb0 = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    res = Q._banded_parity_sig_proxy(emb0).collect()[0]
     kw = dict(
         n_bands=Q._PAIR_BANDS, band_bits=Q._PAIR_BAND_BITS,
         seed=Q._PAIR_SEED, distinct=False,
